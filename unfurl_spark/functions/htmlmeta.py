@@ -1,0 +1,487 @@
+"""Batched HTML metadata tokenizer — the engine's P1 stage.
+
+Re-imagines the reference's streaming parse (htmlparser2 ``WritableStream``
+driving the ``htmlmetaparser.Handler``, unfurl-html/src/index.ts:212-225) as
+a columns-in/columns-out pure-Python kernel: one call per document, executed
+over Arrow record batches inside ``mapInPandas`` — no per-row Spark UDFs.
+
+Output is the ``Result``-equivalent dict the extractors consume
+(shape recovered from the reference's consumption sites, SURVEY.md §1.3):
+
+    {
+      "html":      {title, description, keywords, author, canonical,
+                    language, "apple-mobile-web-app-title", ...},
+      "twitter":   {<key after 'twitter:'>: str | [str, ...]},
+      "sailthru":  {<key after 'sailthru.'>: str},
+      "applinks":  {<key after 'al:'>: str},
+      "dublincore":{...},
+      "icons":     [{href, sizes, type}],            # href resolved
+      "alternate": [{type, href, title, media}],     # href resolved
+      "jsonld":    parsed JSON-LD value or list,
+      "rdfa":      [RdfaNode],   # og:*/article:* etc, expanded-IRI keys
+      "microdata": [node],       # itemscope trees, schema URL types
+      "jsonld_blocks": [raw script text, document order],
+    }
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from html.parser import HTMLParser
+
+from .coerce import whatwg_url
+
+# RDFa initial-context prefixes relevant to the consumed key set
+# (every graph key read by the extractors, unfurl-html/src/index.ts §2.3).
+RDFA_PREFIXES = {
+    "og": "http://ogp.me/ns#",
+    "fb": "http://ogp.me/ns/fb#",
+    "music": "http://ogp.me/ns/music#",
+    "video": "http://ogp.me/ns/video#",
+    "article": "http://ogp.me/ns/article#",
+    "book": "http://ogp.me/ns/book#",
+    "profile": "http://ogp.me/ns/profile#",
+    "website": "http://ogp.me/ns/website#",
+    "cc": "https://creativecommons.org/ns#",
+    "dc": "http://purl.org/dc/terms/",
+    "dcterms": "http://purl.org/dc/terms/",
+    "dctypes": "http://purl.org/dc/dcmitype/",
+    "schema": "http://schema.org/",
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+    "sioc": "http://rdfs.org/sioc/ns#",
+    "skos": "http://www.w3.org/2004/02/skos/core#",
+}
+
+_VOID = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr",
+}
+_ICON_RELS = {
+    "icon", "shortcut icon", "apple-touch-icon", "apple-touch-icon-precomposed",
+}
+# Built-in oembed provider endpoints, appended to result.alternate when the
+# page URL matches (observed in the reference snapshots: pages with no
+# discovery link — instagram/flickr/kickstarter/ted — and soundcloud, whose
+# page link is typed text/json+oembed and filtered out, still resolve oembed
+# from these canonical endpoints, always keyed by the FINAL page URL).
+_OEMBED_PROVIDERS: list[tuple[re.Pattern, str, bool]] = [
+    (re.compile(r"^https?://(www\.)?instagram\.com/p/[^/]+"),
+     "https://api.instagram.com/oembed?type=json&url=", True),
+    (re.compile(r"^https?://soundcloud\.com/[^/]+/[^/]+"),
+     "https://soundcloud.com/oembed?type=json&url=", True),
+    (re.compile(r"^https?://(www\.)?flickr\.com/photos/[^/]+/\d+(/sizes/[^/]+)?/?$"),
+     "https://www.flickr.com/services/oembed?url=", True),
+    (re.compile(r"^https?://(www\.)?kickstarter\.com/projects/.+"),
+     "https://www.kickstarter.com/services/oembed?url=", True),
+    (re.compile(r"^https?://(www\.)?ted\.com/talks/.+"),
+     "https://www.ted.com/services/v1/oembed.json?url=", True),
+]
+
+# JS encodeURIComponent unreserved set
+_ENC_SAFE = "!'()*-._~"
+# <meta name=...> keys copied into result.html verbatim (consumed set plus
+# common aliases seen in the fixture corpus).
+_HTML_META_NAMES = {
+    "description", "keywords", "author", "application-name", "generator",
+    "apple-mobile-web-app-title", "theme-color", "robots", "language",
+}
+
+_WS = re.compile(r"\s+")
+
+
+def _clean(value: str) -> str:
+    """htmlmetaparser normalizes harvested values: collapse whitespace, trim
+    (observed against the reference snapshots — newlines in meta content
+    become single spaces)."""
+    return _WS.sub(" ", value).strip()
+
+
+def _set(mapping: dict, key: str, value: str) -> None:
+    """Repeated meta keys overwrite (last wins — observed: duplicated
+    al:/twitter: app tags yield scalars in the reference snapshots);
+    empty values are skipped (observed: empty meta description yields
+    an absent key, not '')."""
+    if value == "":
+        return
+    mapping[key] = value
+
+
+class _Frame:
+    """One open element: carries any microdata item / text capture."""
+    __slots__ = ("tag", "item", "text_parts", "capture_text")
+
+    def __init__(self, tag: str):
+        self.tag = tag
+        self.item: dict | None = None        # microdata itemscope node
+        self.text_parts: list[str] | None = None  # text-content capture
+        self.capture_text = False
+
+
+class MetaHandler(HTMLParser):
+    """Single-pass SAX-style harvest of every metadata source class."""
+
+    def __init__(self, url: str):
+        super().__init__(convert_charrefs=True)
+        self.url = url
+        self.result: dict = {"icons": [], "alternate": [], "jsonld_blocks": []}
+        self._prefixes = dict(RDFA_PREFIXES)
+        self._rdfa_root: dict = {"@id": url}
+        self._stack: list[_Frame] = []
+        self._item_stack: list[dict] = []          # open microdata items
+        self._micro_top: list[dict] = []
+        # (keys, parts, item) triples waiting for element close
+        self._script_jsonld = False
+        self._script_parts: list[str] = []
+        self._title_done = False
+
+    # -- helpers -------------------------------------------------------------
+
+    def _map(self, name: str) -> dict:
+        m = self.result.get(name)
+        if m is None:
+            m = self.result[name] = {}
+        return m
+
+    def _resolve(self, href: str) -> str:
+        return whatwg_url(href, self.url) or href
+
+    def _expand_curie(self, term: str) -> str | None:
+        if term.startswith("http://") or term.startswith("https://"):
+            return term
+        if ":" not in term:
+            return None
+        prefix, _, rest = term.partition(":")
+        base = self._prefixes.get(prefix.lower())
+        return base + rest if base else None
+
+    def _rdfa_add(self, prop_attr: str, value) -> None:
+        for term in _WS.split(prop_attr.strip()):
+            if not term:
+                continue
+            iri = self._expand_curie(term)
+            if iri is None:
+                continue
+            self._rdfa_root.setdefault(iri, []).append(value)
+
+    def _vocab(self) -> str:
+        for node in reversed(self._item_stack):
+            for t in node.get("@type") or []:
+                m = re.match(r"^(https?://[^#]*[/#])", t)
+                if m:
+                    return m.group(1)
+        return "http://schema.org/"
+
+    def _prop_keys(self, names_attr: str) -> list[str]:
+        vocab = self._vocab()
+        return [
+            n if n.startswith("http") else vocab + n
+            for n in _WS.split(names_attr.strip()) if n
+        ]
+
+    # -- tag handlers ----------------------------------------------------------
+
+    def handle_starttag(self, tag, attrs):
+        a = {}
+        for k, v in attrs:
+            if k not in a:
+                a[k] = v if v is not None else ""
+        if "prefix" in a:  # RDFa 1.1 prefix declarations
+            toks = _WS.split(a["prefix"].strip())
+            for i in range(0, len(toks) - 1, 2):
+                if toks[i].endswith(":"):
+                    self._prefixes[toks[i][:-1].lower()] = toks[i + 1]
+
+        frame = None
+        if tag not in _VOID:
+            frame = _Frame(tag)
+            self._stack.append(frame)
+
+        if tag == "title" and not self._title_done and frame is not None:
+            frame.capture_text = True
+            frame.text_parts = []
+        elif tag == "meta":
+            self._handle_meta(a)
+        elif tag == "link":
+            self._handle_link(a)
+        elif tag == "base" and "href" in a and "base_seen" not in self.result:
+            self.result["base_seen"] = True
+            resolved = whatwg_url(a["href"], self.url)
+            if resolved:
+                self.url = resolved
+        elif tag == "script" and frame is not None:
+            stype = (a.get("type") or "").split(";", 1)[0].strip().lower()
+            self._script_jsonld = stype == "application/ld+json"
+            self._script_parts = []
+
+        # RDFa property on content-bearing elements
+        if "property" in a and tag != "meta":
+            content = a.get("content")
+            href = a.get("href")
+            if content is not None:
+                self._rdfa_add(a["property"], _clean(content))
+            elif href:
+                self._rdfa_add(a["property"], {"@id": self._resolve(href)})
+
+        # microdata
+        if "itemscope" in a:
+            node: dict = {}
+            itemtype = a.get("itemtype")
+            if itemtype:
+                node["@type"] = [t for t in _WS.split(itemtype.strip()) if t]
+            itemid = a.get("itemid")
+            if itemid:
+                node["@id"] = self._resolve(itemid)
+            if "itemprop" in a and self._item_stack:
+                parent = self._item_stack[-1]
+                for key in self._prop_keys(a["itemprop"]):
+                    parent.setdefault(key, []).append(node)
+            else:
+                self._micro_top.append(node)
+            self._item_stack.append(node)
+            if frame is not None:
+                frame.item = node
+            else:  # itemscope on a void element — close immediately
+                self._item_stack.pop()
+        elif "itemprop" in a and self._item_stack:
+            self._micro_prop(tag, a, frame)
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+        if tag not in _VOID:
+            self.handle_endtag(tag)
+
+    def handle_endtag(self, tag):
+        if tag in _VOID:
+            return
+        # pop up to the matching open tag (lenient recovery)
+        idx = None
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i].tag == tag:
+                idx = i
+                break
+        if idx is None:
+            return
+        while len(self._stack) > idx:
+            self._close_frame(self._stack.pop())
+
+    def _close_frame(self, frame: _Frame) -> None:
+        if frame.tag == "title" and frame.capture_text and frame.text_parts is not None:
+            if not self._title_done:
+                _set(self._map("html"), "title",
+                     _clean("".join(frame.text_parts)))
+                self._title_done = True
+        elif frame.tag == "script":
+            if self._script_jsonld:
+                text = "".join(self._script_parts)
+                self.result["jsonld_blocks"].append(text)
+                try:
+                    doc = json.loads(text)
+                except Exception:
+                    doc = None
+                if doc is not None:
+                    prev = self.result.get("jsonld")
+                    if prev is None:
+                        self.result["jsonld"] = doc
+                    elif isinstance(prev, list) and prev and isinstance(
+                            self.result.get("__jsonld_islist__"), bool):
+                        prev.append(doc)
+                    else:
+                        self.result["jsonld"] = [prev, doc]
+                        self.result["__jsonld_islist__"] = True
+                self._script_jsonld = False
+        elif frame.capture_text and frame.text_parts is not None:
+            pass  # value already registered by reference into node list
+        if frame.item is not None and self._item_stack and \
+                self._item_stack[-1] is frame.item:
+            self._item_stack.pop()
+
+    def handle_data(self, data):
+        if self._script_jsonld:
+            self._script_parts.append(data)
+            return
+        for frame in self._stack:
+            if frame.capture_text and frame.text_parts is not None:
+                frame.text_parts.append(data)
+
+    # -- meta/link -------------------------------------------------------------
+
+    def _route_meta_key(self, key: str, content: str, is_property: bool) -> None:
+        lk = key.strip()
+        low = lk.lower()
+        if low.startswith("twitter:"):
+            _set(self._map("twitter"), lk[8:], content)
+        elif low.startswith("sailthru."):
+            _set(self._map("sailthru"), lk[9:], content)
+        elif low.startswith("al:"):
+            _set(self._map("applinks"), lk[3:], content)
+        elif low.startswith("dc.") or low.startswith("dcterms."):
+            _set(self._map("dublincore"), lk.split(".", 1)[1], content)
+        elif is_property and ":" in lk:
+            self._rdfa_add(lk, content)
+        elif not is_property and low in _HTML_META_NAMES:
+            _set(self._map("html"), low, content)
+
+    def _handle_meta(self, a: dict) -> None:
+        content = a.get("content")
+        if content is None:
+            return
+        content = _clean(content)
+        name = a.get("name")
+        prop = a.get("property")
+        # name and property are routed independently — real pages carry both
+        # on one tag (e.g. name="twitter:image" property="og:image")
+        if name is not None:
+            self._route_meta_key(name, content, is_property=False)
+        if prop is not None:
+            self._route_meta_key(prop, content, is_property=True)
+        if "itemprop" in a and self._item_stack:
+            node = self._item_stack[-1]
+            for k in self._prop_keys(a["itemprop"]):
+                node.setdefault(k, []).append(content)
+
+    def _handle_link(self, a: dict) -> None:
+        # rel matching is case-sensitive (observed: rel="Shortcut Icon" is
+        # NOT harvested while rel="shortcut icon" is)
+        rel = (a.get("rel") or "").strip()
+        href = a.get("href")
+        if "itemprop" in a and href and self._item_stack:
+            node = self._item_stack[-1]
+            for k in self._prop_keys(a["itemprop"]):
+                node.setdefault(k, []).append({"@id": self._resolve(href)})
+        if not rel or href is None:
+            return
+        rel_norm = _WS.sub(" ", rel)
+        if rel_norm == "canonical":
+            _set(self._map("html"), "canonical", self._resolve(href))
+        elif rel_norm in _ICON_RELS:
+            resolved = self._resolve(href)
+            # dedupe by href, later links overlay missing fields (observed:
+            # duplicated favicon links collapse; a sizes-bearing repeat of a
+            # sizeless link contributes its sizes)
+            for icon in self.result["icons"]:
+                if icon["href"] == resolved:
+                    if a.get("sizes") is not None:
+                        icon["sizes"] = a.get("sizes")
+                    if a.get("type") is not None:
+                        icon["type"] = a.get("type")
+                    break
+            else:
+                self.result["icons"].append({
+                    "href": resolved,
+                    "sizes": a.get("sizes"),
+                    "type": a.get("type"),
+                })
+        elif rel_norm == "alternate":
+            self.result["alternate"].append({
+                "type": a.get("type"),
+                "href": self._resolve(href),
+                "title": a.get("title"),
+                "media": a.get("media"),
+                "hreflang": a.get("hreflang"),
+            })
+
+    # -- microdata value props ----------------------------------------------------
+
+    def _micro_prop(self, tag: str, a: dict, frame: _Frame | None) -> None:
+        node = self._item_stack[-1]
+        keys = self._prop_keys(a["itemprop"])
+        value: object | None = None
+        text_prop = False
+        if tag in ("a", "link", "area"):
+            # href as a plain string (observed: microdata keyword hrefs
+            # surface through jsonLdValue, i.e. as @value, in the snapshots)
+            href = a.get("href")
+            value = self._resolve(href) if href else None
+        elif tag in ("img", "audio", "video", "source", "embed", "iframe", "track"):
+            src = a.get("src")
+            value = {"@id": self._resolve(src)} if src else None
+        elif tag == "time":
+            value = a.get("datetime")
+            text_prop = value is None
+        elif tag == "data":
+            value = a.get("value")
+        elif tag == "object":
+            d = a.get("data")
+            value = {"@id": self._resolve(d)} if d else None
+        elif tag == "meta":
+            value = a.get("content", "")
+        else:
+            text_prop = True
+        if text_prop and frame is not None:
+            frame.capture_text = True
+            frame.text_parts = []
+            slot: list = []
+            for k in keys:
+                node.setdefault(k, []).append(slot)
+            # register finalizer: on close, fold text into slot
+            parts = frame.text_parts
+
+            def _fold(parts=parts, slot=slot):
+                slot.append(_WS.sub(" ", "".join(parts)).strip())
+            self._pending_text.append((frame, slot, parts))
+            return
+        if value is None:
+            return
+        for k in keys:
+            node.setdefault(k, []).append(value)
+
+    _pending_text: list
+
+    # -- finish --------------------------------------------------------------------
+
+    def finalize(self) -> dict:
+        while self._stack:
+            self._close_frame(self._stack.pop())
+        for frame, slot, parts in self._pending_text:
+            slot.append(_WS.sub(" ", "".join(parts)).strip())
+        _strip_text_slots(self._micro_top)
+        self.result.pop("__jsonld_islist__", None)
+        self.result.pop("base_seen", None)
+        for rx, endpoint, encode in _OEMBED_PROVIDERS:
+            if rx.match(self.url):
+                from urllib.parse import quote
+                target = quote(self.url, safe=_ENC_SAFE) if encode else self.url
+                self.result["alternate"].append({
+                    "type": "application/json+oembed",
+                    "href": endpoint + target,
+                    "title": None, "media": None, "hreflang": None,
+                })
+                break
+        if self._micro_top:
+            self.result["microdata"] = self._micro_top
+        if len(self._rdfa_root) > 1:
+            self.result["rdfa"] = [self._rdfa_root]
+        return self.result
+
+
+def _strip_text_slots(nodes: list) -> None:
+    """Replace single-element text slots [ 'text' ] with the text itself."""
+    for node in nodes:
+        if not isinstance(node, dict):
+            continue
+        for key, vals in node.items():
+            if key.startswith("@") or not isinstance(vals, list):
+                continue
+            for i, v in enumerate(vals):
+                if isinstance(v, list):
+                    vals[i] = v[0] if v else ""
+                elif isinstance(v, dict):
+                    _strip_text_slots([v])
+
+
+def parse_html(html_text: str, url: str) -> dict | None:
+    """Parse one HTML document into the Result dict. Error → None
+    (reference: parse failure → bare website, unfurl-html/src/index.ts:49-50).
+    """
+    handler = MetaHandler(url)
+    handler._pending_text = []
+    try:
+        handler.feed(html_text)
+        handler.close()
+    except Exception:
+        return None
+    return handler.finalize()

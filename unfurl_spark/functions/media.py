@@ -1,0 +1,450 @@
+"""Binary media metadata readers — replaces the exif / exiftool plugins.
+
+Pure-Python (stdlib ``struct``) readers over capped byte prefixes:
+
+* ``exif_image``    — unfurl-exif parity (unfurl-exif/src/index.ts:16-47):
+                      ExifReader over the first 131072 bytes; XMP dates,
+                      file/pngFile dimensions, EXIF camera fields.
+* ``exiftool_*``    — unfurl-exiftool parity (unfurl-exiftool/src/index.ts:
+                      25-86): exiftool-shaped fields without the per-row
+                      subprocess — the process boundary the reference pays
+                      per record is exactly what a Spark executor must not.
+
+The container libraries (PIL etc.) are not available; these parse JPEG /
+PNG / WebP headers, embedded EXIF TIFF directories, XMP packets and PDF
+Info dictionaries directly.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+import zlib
+
+from .coerce import exif_date, parse_exif_date
+
+EXIF_BYTE_CAP = 131072  # unfurl-exif/src/index.ts:21
+
+
+# --- EXIF TIFF directory ------------------------------------------------------
+
+_EXIF_TAGS = {
+    0x010F: "Make",
+    0x0110: "Model",
+    0x0131: "Software",
+    0x0112: "Orientation",
+    0xA433: "LensMake",
+    0xA434: "LensModel",
+    0x0132: "ModifyDate",
+    0x9003: "DateTimeOriginal",
+    0x9004: "CreateDate",
+    0x8769: "ExifIFDPointer",
+    0x0100: "ImageWidth",
+    0x0101: "ImageHeight",
+    0xA002: "PixelXDimension",
+    0xA003: "PixelYDimension",
+}
+
+_ORIENTATIONS = {
+    1: "Horizontal (normal)", 2: "Mirror horizontal", 3: "Rotate 180",
+    4: "Mirror vertical", 5: "Mirror horizontal and rotate 270 CW",
+    6: "Rotate 90 CW", 7: "Mirror horizontal and rotate 90 CW",
+    8: "Rotate 270 CW",
+}
+
+
+def _parse_tiff(data: bytes) -> dict:
+    """Parse the EXIF TIFF structure → {tag_name: value}."""
+    out: dict = {}
+    if len(data) < 8:
+        return out
+    if data[:2] == b"II":
+        endian = "<"
+    elif data[:2] == b"MM":
+        endian = ">"
+    else:
+        return out
+
+    def u16(off):
+        return struct.unpack_from(endian + "H", data, off)[0]
+
+    def u32(off):
+        return struct.unpack_from(endian + "I", data, off)[0]
+
+    def read_ifd(off):
+        if off + 2 > len(data):
+            return
+        n = u16(off)
+        for i in range(n):
+            base = off + 2 + i * 12
+            if base + 12 > len(data):
+                return
+            tag = u16(base)
+            typ = u16(base + 2)
+            count = u32(base + 4)
+            name = _EXIF_TAGS.get(tag)
+            size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 10: 8}.get(typ, 1) * count
+            voff = base + 8 if size <= 4 else u32(base + 8)
+            if voff + size > len(data):
+                continue
+            if name == "ExifIFDPointer":
+                read_ifd(u32(base + 8))
+                continue
+            if name is None:
+                continue
+            if typ == 2:  # ASCII
+                raw = data[voff: voff + count]
+                out[name] = raw.split(b"\x00", 1)[0].decode(
+                    "latin-1", "replace")
+            elif typ == 3:
+                out[name] = u16(voff)
+            elif typ == 4:
+                out[name] = u32(voff)
+
+    try:
+        read_ifd(u32(4))
+    except struct.error:
+        pass
+    return out
+
+
+def _find_exif_jpeg(data: bytes) -> tuple[dict, int | None, int | None, dict]:
+    """Walk JPEG segments → (exif tags, width, height, xmp)."""
+    tags: dict = {}
+    xmp: dict = {}
+    width = height = None
+    i = 2
+    n = len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if i + 4 > n:
+            break
+        seglen = struct.unpack_from(">H", data, i + 2)[0]
+        seg = data[i + 4: i + 2 + seglen]
+        if marker == 0xE1:
+            if seg.startswith(b"Exif\x00\x00"):
+                tags.update(_parse_tiff(seg[6:]))
+            elif seg.startswith(b"http://ns.adobe.com/xap/1.0/\x00"):
+                xmp.update(_parse_xmp(seg[29:]))
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if len(seg) >= 5:
+                height, width = struct.unpack_from(">HH", seg, 1)
+        elif marker == 0xDA:
+            break
+        i += 2 + seglen
+    return tags, width, height, xmp
+
+
+_XMP_KEYS = {
+    "ModifyDate": re.compile(
+        r'xmp:ModifyDate(?:="([^"]*)"|>([^<]*)<)'),
+    "CreateDate": re.compile(
+        r'xmp:CreateDate(?:="([^"]*)"|>([^<]*)<)'),
+    "DateCreated": re.compile(
+        r'photoshop:DateCreated(?:="([^"]*)"|>([^<]*)<)'),
+    "format": re.compile(r'dc:format(?:="([^"]*)"|>([^<]*)<)'),
+}
+
+
+def _parse_xmp(seg: bytes) -> dict:
+    text = seg.decode("utf-8", "replace")
+    out = {}
+    for key, rx in _XMP_KEYS.items():
+        m = rx.search(text)
+        if m:
+            out[key] = m.group(1) or m.group(2)
+    return out
+
+
+def _png_info(data: bytes) -> tuple[int | None, int | None, dict, dict]:
+    width = height = None
+    xmp: dict = {}
+    tags: dict = {}
+    if not data.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None, None, {}, {}
+    i = 8
+    n = len(data)
+    while i + 8 <= n:
+        length = struct.unpack_from(">I", data, i)[0]
+        ctype = data[i + 4: i + 8]
+        chunk = data[i + 8: i + 8 + length]
+        if ctype == b"IHDR" and len(chunk) >= 8:
+            width, height = struct.unpack_from(">II", chunk, 0)
+        elif ctype == b"eXIf":
+            tags.update(_parse_tiff(chunk))
+        elif ctype == b"iTXt" and chunk.startswith(b"XML:com.adobe.xmp"):
+            payload = chunk.split(b"\x00", 5)[-1]
+            if payload[:2] == b"\x78\x9c" or payload[:2] == b"\x78\x01":
+                try:
+                    payload = zlib.decompress(payload)
+                except zlib.error:
+                    pass
+            xmp.update(_parse_xmp(payload))
+        i += 12 + length
+        if ctype == b"IDAT":
+            break
+    return width, height, xmp, tags
+
+
+def _webp_info(data: bytes) -> tuple[int | None, int | None, dict, dict]:
+    if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        return None, None, {}, {}
+    width = height = None
+    xmp: dict = {}
+    tags: dict = {}
+    i = 12
+    n = len(data)
+    while i + 8 <= n:
+        fourcc = data[i: i + 4]
+        size = struct.unpack_from("<I", data, i + 4)[0]
+        chunk = data[i + 8: i + 8 + size]
+        if fourcc == b"VP8X" and len(chunk) >= 10:
+            width = 1 + int.from_bytes(chunk[4:7], "little")
+            height = 1 + int.from_bytes(chunk[7:10], "little")
+        elif fourcc == b"VP8 " and width is None and len(chunk) >= 10:
+            if chunk[3:6] == b"\x9d\x01\x2a":
+                width = struct.unpack_from("<H", chunk, 6)[0] & 0x3FFF
+                height = struct.unpack_from("<H", chunk, 8)[0] & 0x3FFF
+        elif fourcc == b"VP8L" and width is None and len(chunk) >= 5:
+            if chunk[0] == 0x2F:
+                bits = int.from_bytes(chunk[1:5], "little")
+                width = (bits & 0x3FFF) + 1
+                height = ((bits >> 14) & 0x3FFF) + 1
+        elif fourcc == b"EXIF":
+            payload = chunk[6:] if chunk.startswith(b"Exif\x00\x00") else chunk
+            tags.update(_parse_tiff(payload))
+        elif fourcc == b"XMP ":
+            xmp.update(_parse_xmp(chunk))
+        i += 8 + size + (size & 1)
+    return width, height, xmp, tags
+
+
+def _sniff(data: bytes) -> str | None:
+    if data.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
+    if data.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "png"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
+    return None
+
+
+def _read_image(data: bytes):
+    kind = _sniff(data)
+    if kind == "jpeg":
+        tags, w, h, xmp = _find_exif_jpeg(data)
+        return kind, tags, w, h, xmp
+    if kind == "png":
+        w, h, xmp, tags = _png_info(data)
+        return kind, tags, w, h, xmp
+    if kind == "webp":
+        w, h, xmp, tags = _webp_info(data)
+        return kind, tags, w, h, xmp
+    return None, {}, None, None, {}
+
+
+# --- plugin-parity entry points -------------------------------------------------
+
+# ExifReader's orientation descriptions differ from exiftool's
+_EXIFREADER_ORIENTATIONS = {
+    1: "top-left", 2: "top-right", 3: "bottom-right", 4: "bottom-left",
+    5: "left-top", 6: "right-top", 7: "right-bottom", 8: "left-bottom",
+}
+
+
+def exif_image(url: str, data: bytes, encoding_format: str) -> dict:
+    """unfurl-exif parity (unfurl-exif/src/index.ts:16-47)."""
+    data = data[:EXIF_BYTE_CAP]
+    kind, tags, width, height, xmp = _read_image(data)
+    if kind is None or kind == "webp":
+        # ExifReader has no WebP support — load() throws → bare image
+        return {"type": "image", "url": url}
+    orientation = tags.get("Orientation")
+    return {
+        "type": "image",
+        "url": url,
+        "encodingFormat": xmp.get("format") or encoding_format,
+        "dateModified": exif_date(xmp.get("ModifyDate")),
+        "dateCreated": exif_date(xmp.get("DateCreated"))
+        or exif_date(xmp.get("CreateDate")),
+        "width": width,
+        "height": height,
+        "camera": {
+            "make": tags.get("Make"),
+            "model": tags.get("Model"),
+            "lensMake": tags.get("LensMake"),
+            "lensModel": tags.get("LensModel"),
+            "software": tags.get("Software"),
+            "orientation": _EXIFREADER_ORIENTATIONS.get(orientation)
+            if isinstance(orientation, int) else orientation,
+        },
+    }
+
+
+_MIMES = {"jpeg": "image/jpeg", "png": "image/png", "webp": "image/webp"}
+
+
+def exiftool_image(url: str, data: bytes) -> dict:
+    """unfurl-exiftool image parity (unfurl-exiftool/src/index.ts:42-67)."""
+    kind, tags, width, height, _xmp = _read_image(data)
+    if kind is None:
+        return {"type": "image", "url": url}
+    orientation = tags.get("Orientation")
+    mp = None
+    if width and height:
+        v = width * height / 1e6
+        # exiftool Megapixels PrintConv: 1 decimal when >=1, else 3, else 6
+        mp = round(v, 1 if v >= 1 else (3 if v >= 0.001 else 6))
+    return {
+        "type": "image",
+        "url": url,
+        "encodingFormat": _MIMES.get(kind),
+        "dateModified": parse_exif_date(tags.get("ModifyDate")),
+        "dateCreated": parse_exif_date(tags.get("DateTimeOriginal"))
+        or parse_exif_date(tags.get("CreateDate")),
+        "width": float(width) if width is not None else float("nan"),
+        "height": float(height) if height is not None else float("nan"),
+        "camera": {
+            "make": tags.get("Make"),
+            "model": tags.get("Model"),
+            "lensMake": tags.get("LensMake"),
+            "lensModel": tags.get("LensModel"),
+            "software": tags.get("Software"),
+            "megapixels": mp if mp is not None else float("nan"),
+            "orientation": _ORIENTATIONS.get(orientation)
+            if isinstance(orientation, int) else orientation,
+        },
+    }
+
+
+# --- PDF ----------------------------------------------------------------------
+
+_PDF_INFO_KEYS = ("Title", "Author", "Creator", "Producer",
+                  "CreationDate", "ModDate")
+
+
+def _pdf_unescape(m: re.Match) -> bytes:
+    esc = m.group(1)
+    if esc[0:1].isdigit():
+        return bytes([int(esc, 8) & 0xFF])
+    return {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
+            b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\",
+            b"\n": b"", b"\r": b""}.get(esc, esc)
+
+
+def _pdf_string(raw: bytes) -> str | None:
+    raw = raw.strip()
+    if raw.startswith(b"(") and raw.endswith(b")"):
+        body = raw[1:-1]
+        body = re.sub(rb"\\([0-7]{1,3}|\r\n|[\s\S])", _pdf_unescape, body)
+        if body.startswith(b"\xfe\xff"):
+            return body[2:].decode("utf-16-be", "replace")
+        return body.decode("latin-1", "replace")
+    if raw.startswith(b"<") and raw.endswith(b">"):
+        try:
+            body = bytes.fromhex(raw[1:-1].decode("ascii", "ignore"))
+        except ValueError:
+            return None
+        if body.startswith(b"\xfe\xff"):
+            return body[2:].decode("utf-16-be", "replace")
+        return body.decode("latin-1", "replace")
+    return None
+
+
+def _pdf_date(value: str | None) -> str | None:
+    """PDF 'D:YYYYMMDDHHmmSSOHH'mm'' → exiftool 'YYYY:MM:DD HH:MM:SS±HH:MM'."""
+    if not value:
+        return None
+    m = re.match(
+        r"^D?:?(\d{4})(\d{2})?(\d{2})?(\d{2})?(\d{2})?(\d{2})?"
+        r"(?:(Z)|([+-])(\d{2})'?(\d{2})?'?)?",
+        value,
+    )
+    if not m:
+        return None
+    y, mo, d, hh, mi, ss, z, sign, oh, om = m.groups()
+    out = f"{y}:{mo or '01'}:{d or '01'} {hh or '00'}:{mi or '00'}:{ss or '00'}"
+    if z:
+        out += "Z"
+    elif sign:
+        out += f"{sign}{oh}:{om or '00'}"
+    return out
+
+
+_PDF_STR = rb"\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>"
+
+
+def _pdf_object_strings(data: bytes) -> dict[int, bytes]:
+    """Map object number → raw string body for `N 0 obj (<str>) endobj`."""
+    out: dict[int, bytes] = {}
+    for m in re.finditer(
+            rb"(\d+)\s+\d+\s+obj\s*(" + _PDF_STR + rb")\s*endobj", data):
+        out[int(m.group(1))] = m.group(2)
+    return out
+
+
+def parse_pdf_info(data: bytes) -> dict:
+    """Harvest the Info dictionary (and XMP fallback) from leading bytes —
+    mirrors exiftool -fast stopping at the first metadata block.  Handles
+    direct string values and indirect references (`/Author 913 0 R`)."""
+    out: dict = {}
+    objs: dict[int, bytes] | None = None
+    for key in _PDF_INFO_KEYS:
+        for m in re.finditer(
+                rb"/" + key.encode()
+                + rb"\s*(" + _PDF_STR + rb"|\d+\s+\d+\s+R)", data):
+            raw = m.group(1)
+            if raw.endswith(b"R"):
+                if objs is None:
+                    objs = _pdf_object_strings(data)
+                num = int(raw.split()[0])
+                raw = objs.get(num)
+                if raw is None:
+                    continue
+            val = _pdf_string(raw)
+            if val:
+                out[key] = val
+    if "Title" not in out:
+        m = re.search(rb"<dc:title>.*?<rdf:li[^>]*>([^<]*)</rdf:li>", data,
+                      re.DOTALL)
+        if m:
+            out["Title"] = m.group(1).decode("utf-8", "replace")
+    return out
+
+
+def exiftool_pdf(url: str, data: bytes) -> dict:
+    """unfurl-exiftool PDF parity (unfurl-exiftool/src/index.ts:25-40)."""
+    if not data.startswith(b"%PDF"):
+        return {"type": "document", "url": url}
+    info = parse_pdf_info(data)
+    return {
+        "type": "document",
+        "url": url,
+        "encodingFormat": "application/pdf",
+        "producer": {"name": info["Producer"]} if info.get("Producer") else None,
+        "author": {"name": info["Author"]} if info.get("Author") else None,
+        "creator": {"name": info["Creator"]} if info.get("Creator") else None,
+        "headline": info.get("Title"),
+        "dateCreated": parse_exif_date(_pdf_date(info.get("CreationDate"))),
+        "dateModified": parse_exif_date(_pdf_date(info.get("ModDate"))),
+    }
+
+
+def exiftool_video(url: str, data: bytes) -> dict:
+    """unfurl-exiftool video parity (unfurl-exiftool/src/index.ts:69-74)."""
+    fmt = None
+    if len(data) > 12 and data[4:8] == b"ftyp":
+        brand = data[8:12]
+        fmt = "video/quicktime" if brand.startswith(b"qt") else "video/mp4"
+    elif data[:4] == b"\x1aE\xdf\xa3":
+        fmt = "video/webm"
+    if fmt is None:
+        return {"type": "video", "url": url}
+    return {"type": "video", "url": url, "encodingFormat": fmt}
