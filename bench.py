@@ -1,0 +1,111 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Headline numbers:
+  * extraction throughput (docs/sec, bytes/sec) of the fused span-extraction
+    pipeline over a deterministically synthesized interleaved corpus sized
+    by the sf tier (FIXTURES.md: sf0.001→1e3 docs ... sf0.1→1e5 docs);
+  * wall seconds for representative registry queries at the sf dir.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32),
+     BENCH_N_DOCS       (override corpus size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = (
+    "tpch_q1",
+    "tpch_q3_topk",
+    "dedup_minhash_lsh_buckets",
+    "dedup_exact",
+    "ann_cosine_topk",
+    "text_token_count",
+    "events_tumbling_window",
+    "ordered_array_reagg",
+)
+
+
+def corpus_dir(sf: float, n_docs: int) -> str:
+    from unfurl_spark.sources.synthetic import write_corpus
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       ".data", f"bench_{n_docs}")
+    marker = os.path.join(out, "documents_raw.parquet")
+    if not os.path.exists(marker):
+        write_corpus(out, n_docs, seed=42)
+    return out
+
+
+def run(sf_dir: str, cpus: int, n_docs: int | None = None) -> dict:
+    from pyspark.sql import functions as F
+
+    from unfurl_spark.operators.pipeline import extract_spans, session
+    from unfurl_spark.operators.queries import QUERIES
+
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else 0.1
+    n_docs = n_docs or int(os.environ.get("BENCH_N_DOCS")
+                           or max(1000, int(1_000_000 * sf)))
+    cdir = corpus_dir(sf, n_docs)
+
+    spark = session(app=f"unfurl_bench_{cpus}", master=f"local[{cpus}]",
+                    shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    # --- extraction throughput -------------------------------------------
+    docs = spark.read.parquet(os.path.join(cdir, "documents_raw.parquet"))
+    oem = spark.read.parquet(os.path.join(cdir, "oembed_docs.parquet"))
+    med = spark.read.parquet(os.path.join(cdir, "media_payloads.parquet"))
+    t0 = time.time()
+    res = extract_spans(docs, oembed_df=oem, media_df=med,
+                        num_partitions=cpus * 2)
+    agg = res.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_input_bytes").alias("n_bytes"),
+        F.sum(F.size("spans")).alias("n_spans"),
+        F.sum(F.when(F.col("ok") != "ok", 1).otherwise(0)).alias("fails"),
+    ).collect()[0]
+    dt = time.time() - t0
+    timings["extract_spans"] = round(dt, 3)
+    extraction = {
+        "n_docs": agg["n_docs"],
+        "docs_per_sec": round(agg["n_docs"] / dt, 1),
+        "mb_per_sec": round((agg["n_bytes"] or 0) / dt / 1e6, 2),
+        "n_spans": agg["n_spans"],
+        "failures": agg["fails"],
+        "cpus": cpus,
+    }
+
+    # --- registry queries --------------------------------------------------
+    for name in BENCH_QUERIES:
+        fn, _ = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    spark.stop()
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "end_to_end_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extraction": extraction,
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    print(json.dumps(run(sf_dir, cpus)))

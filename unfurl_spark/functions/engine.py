@@ -83,6 +83,80 @@ def scrape_html(url: str, status: int, html_text: str,
     return extract_website(url, metadata, graph, oembed)
 
 
+def document_spans(doc_id: str, spans: list[dict],
+                   status: int = 200,
+                   oembed_store: dict | None = None,
+                   context_store: dict | None = None,
+                   media_store: dict | None = None) -> list[dict]:
+    """One interleaved input row → the ordered output span sequence
+    (SURVEY.md §2.6): title, description, og_image*, jsonld*, body_text*,
+    media*.  Pure function — runs Arrow-batched inside mapInPandas.
+
+    ``spans`` is the input span list (kind ∈ html|pdf|media); the first
+    span's media_ref is the page URL.  ``oembed_store`` maps discovery href
+    → (status, ctype, body); ``media_store`` maps media_ref → (ctype,
+    payload bytes) for media/pdf spans.
+    """
+    from .content import extract_content_blocks
+
+    if not spans:
+        return []
+    ordered = sorted(spans, key=lambda s: s.get("offset") or 0)
+    url = ordered[0].get("media_ref") or doc_id
+    html_text = "".join(
+        s.get("text") or "" for s in ordered if s.get("kind") == "html")
+    out: list[dict] = []
+
+    def emit(kind: str, text: str | None, media_ref: str | None = None):
+        out.append({"kind": kind, "text": text, "media_ref": media_ref,
+                    "offset": len(out)})
+
+    if html_text:
+        metadata = parse_html(html_text, url)
+        oembed = None
+        jsonld_blocks: list[str] = []
+        if metadata is not None:
+            jsonld_blocks = metadata.get("jsonld_blocks", [])
+            if status == 200 and oembed_store is not None:
+                href = find_oembed_href(metadata)
+                if href is not None and href in oembed_store:
+                    oembed = parse_oembed(*oembed_store[href])
+            docs = (to_array(metadata.get("jsonld"))
+                    + to_array(metadata.get("rdfa"))
+                    + to_array(metadata.get("microdata")))
+            graph = normalize_jsonld(docs, url, context_store)
+        else:
+            graph = None
+        site = extract_website(url, metadata, graph, oembed)
+        if site.get("headline"):
+            emit("title", site["headline"])
+        if site.get("description"):
+            emit("description", site["description"])
+        for img in site.get("image") or []:
+            emit("og_image", img.get("description") or "", img.get("url"))
+        for block in jsonld_blocks:
+            emit("jsonld", block)
+        for block in extract_content_blocks(html_text):
+            emit("body_text", block)
+
+    for s in ordered:
+        kind = s.get("kind")
+        if kind not in ("media", "pdf"):
+            continue
+        ref = s.get("media_ref")
+        extracted = None
+        if media_store is not None and ref in media_store:
+            ctype, payload = media_store[ref]
+            snippet = scrape_document(
+                ref, 200, {"content-type": ctype}, None,
+                body_bytes=payload, plugins=("exif", "exiftool"))
+            extracted = json.dumps(
+                snippet, default=str, sort_keys=True, ensure_ascii=False)
+        emit("media", extracted or "", ref)
+
+    return out
+
+
 def scrape_document(url: str, status: int, headers: dict,
                     body_text: str | None,
                     body_bytes: bytes | None = None,

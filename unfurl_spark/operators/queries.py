@@ -1,0 +1,502 @@
+"""Query registry: the generic relational forms of every SURVEY §2 operator
+plus the large-scale training-data ops (dedup / similarity / text analysis),
+each with a DuckDB-oracle SQL twin for the driver's correctness gate.
+
+Each entry: name → (spark_builder(spark, sf_dir) -> DataFrame, oracle_sql).
+``oracle_sql`` is None for ops not expressible in ANSI SQL (the fused
+extraction UDF stage) — the driver then records a rows-only check.
+
+Dialect discipline: every computed column is aliased identically on both
+sides; aggregates are rounded; counts/length are cast to BIGINT (Spark
+``size`` is INT, DuckDB ``len`` is BIGINT); timestamps are serialized
+through explicit formats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def load_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _sql(query: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(query)
+    return run
+
+
+QUERIES: dict[str, tuple] = {}
+
+
+def _q(name: str, spark_sql: str, oracle: str | None = "same"):
+    QUERIES[name] = (_sql(spark_sql),
+                     spark_sql if oracle == "same" else oracle)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 sources / dispatch — scalar string normalization (S5 extractMime)
+_q("mime_normalize", """
+SELECT doc_id,
+       lower(trim(split_part(concat(source, '; charset=utf-8'), ';', 1)))
+         AS mime,
+       upper(lang) AS lang_uc
+FROM documents
+""")
+
+# §2.1 S4 — middleware dispatch: branch filters + union + fallback
+_q("union_dispatch_fallback", """
+SELECT event_id, 'interaction' AS route, event_type FROM events
+WHERE event_type IN ('click', 'view')
+UNION ALL
+SELECT event_id, 'error' AS route, event_type FROM events
+WHERE event_type = 'error'
+UNION ALL
+SELECT event_id, 'link_fallback' AS route, event_type FROM events
+WHERE event_type NOT IN ('click', 'view', 'error')
+""")
+
+# §2.2 P2 — scalar JSON extraction (readJson / from_json)
+_q("json_props_extract", """
+SELECT event_id,
+       CAST(get_json_object(props, '$.k') AS BIGINT) AS k_value
+FROM events
+""", """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events
+""")
+
+# §2.2 P3/P4 — explode with position (graph flatten / zip family)
+_q("posexplode_words", """
+SELECT doc_id, CAST(t.pos AS BIGINT) AS pos, t.word
+FROM documents
+LATERAL VIEW posexplode(split(text, ' ')) t AS pos, word
+WHERE doc_id < 200
+""", """
+SELECT d.doc_id, CAST(t.i - 1 AS BIGINT) AS pos, d.words[t.i] AS word
+FROM (SELECT doc_id, string_split(text, ' ') AS words
+      FROM documents WHERE doc_id < 200) d,
+     UNNEST(generate_series(1, len(d.words))) AS t(i)
+""")
+
+# §2.2 P5 — record-scoped lookup: left outer equi-join (oembed side table)
+_q("lookup_left_join", """
+SELECT o.o_orderkey, c.c_mktsegment AS segment,
+       coalesce(c.c_name, 'missing-customer') AS cust_name
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+""")
+
+# §2.3 C1-C7 — precedence coalesce
+_q("precedence_coalesce", """
+SELECT o_orderkey,
+       coalesce(nullif(o_orderpriority, '5-LOW'),
+                nullif(o_orderstatus, 'F'),
+                'fallback') AS resolved
+FROM orders
+""")
+
+# §2.3 C9-C11 — dedupe-merge: group-first with ordered overlay
+_q("dedupe_group_first", """
+SELECT lang, source, doc_id AS first_doc, n_chars AS first_len
+FROM (
+  SELECT lang, source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang, source ORDER BY doc_id)
+           AS rn
+  FROM documents
+) WHERE rn = 1
+""")
+
+# §2.3 — ordered re-aggregation (span order preservation)
+_q("ordered_array_reagg", """
+SELECT user_id,
+       array_join(transform(array_sort(collect_list(
+         struct(ts, event_id, event_type))), x -> x.event_type), ',')
+         AS type_seq,
+       count(*) AS n_events
+FROM events
+WHERE user_id < 40
+GROUP BY user_id
+""", """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq,
+       count(*) AS n_events
+FROM events
+WHERE user_id < 40
+GROUP BY user_id
+""")
+
+# relational competence: TPC-H Q1 (map-side-combinable agg)
+_q("tpch_q1", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+         AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= CAST('1998-09-02' AS DATE)
+GROUP BY l_returnflag, l_linestatus
+""")
+
+# relational competence: TPC-H Q3-style join + top-k (broadcastable dims)
+_q("tpch_q3_topk", """
+SELECT o.o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       date_format(o.o_orderdate, 'yyyy-MM-dd') AS orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""", """
+SELECT o.o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""")
+
+# window analytics: running per-user sums (checkpointable progress metric)
+_q("window_running_sum", """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_value
+FROM events
+WHERE user_id < 40
+""")
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: deduplication family
+
+_q("dedup_exact", """
+SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""")
+
+# minhash signatures over relational word-3-gram shingles
+_MINHASH_CTE = """
+WITH words AS (
+  SELECT doc_id, CAST(t.pos AS BIGINT) AS pos, t.word
+  FROM documents LATERAL VIEW posexplode(split(text, ' ')) t AS pos, word
+), shingles AS (
+  SELECT w1.doc_id,
+         concat(w1.word, ' ', w2.word, ' ', w3.word) AS g
+  FROM words w1
+  JOIN words w2 ON w2.doc_id = w1.doc_id AND w2.pos = w1.pos + 1
+  JOIN words w3 ON w3.doc_id = w1.doc_id AND w3.pos = w1.pos + 2
+)
+"""
+_MINHASH_CTE_DUCK = """
+WITH words AS (
+  SELECT d.doc_id, CAST(t.i - 1 AS BIGINT) AS pos, d.words[t.i] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) d,
+       UNNEST(generate_series(1, len(d.words))) AS t(i)
+), shingles AS (
+  SELECT w1.doc_id,
+         concat(w1.word, ' ', w2.word, ' ', w3.word) AS g
+  FROM words w1
+  JOIN words w2 ON w2.doc_id = w1.doc_id AND w2.pos = w1.pos + 1
+  JOIN words w3 ON w3.doc_id = w1.doc_id AND w3.pos = w1.pos + 2
+)
+"""
+_MINHASH_BODY = """
+SELECT doc_id,
+       min(md5(concat('0|', g))) AS h0, min(md5(concat('1|', g))) AS h1,
+       min(md5(concat('2|', g))) AS h2, min(md5(concat('3|', g))) AS h3,
+       min(md5(concat('4|', g))) AS h4, min(md5(concat('5|', g))) AS h5,
+       min(md5(concat('6|', g))) AS h6, min(md5(concat('7|', g))) AS h7
+FROM shingles GROUP BY doc_id
+"""
+_q("dedup_minhash_signature", _MINHASH_CTE + _MINHASH_BODY,
+   _MINHASH_CTE_DUCK + _MINHASH_BODY)
+
+_LSH_BODY = """
+, sig AS (
+%s
+)
+SELECT band_key, count(*) AS n_docs, min(doc_id) AS keeper
+FROM (
+  SELECT doc_id, md5(concat(h0, h1, h2, h3)) AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, md5(concat(h4, h5, h6, h7)) AS band_key FROM sig
+)
+GROUP BY band_key
+HAVING count(*) > 1
+""" % _MINHASH_BODY
+_q("dedup_minhash_lsh_buckets", _MINHASH_CTE + _LSH_BODY,
+   _MINHASH_CTE_DUCK + _LSH_BODY)
+
+# simhash: 16 sign-summed bits from per-word hash parities
+_SIMHASH_BITS = " + ".join(
+    "(CASE WHEN sum(CASE WHEN ascii(substr(md5(word), %d, 1)) %% 2 = 1 "
+    "THEN 1 ELSE -1 END) > 0 THEN %d ELSE 0 END)" % (b + 1, 1 << b)
+    for b in range(16)
+)
+_q("dedup_simhash", """
+SELECT doc_id, CAST(%s AS BIGINT) AS simhash
+FROM (
+  SELECT doc_id, t.word
+  FROM documents LATERAL VIEW explode(split(text, ' ')) t AS word
+)
+GROUP BY doc_id
+""" % _SIMHASH_BITS, """
+SELECT doc_id, CAST(%s AS BIGINT) AS simhash
+FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents
+)
+GROUP BY doc_id
+""" % _SIMHASH_BITS)
+
+# n-gram Jaccard between LSH-candidate pairs
+_JACCARD_BODY = """
+, sig AS (
+%s
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b
+    ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
+), ga AS (SELECT DISTINCT doc_id, g FROM shingles)
+SELECT doc_a, doc_b,
+       round(CAST(sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS jaccard
+FROM (
+  SELECT p.doc_a AS doc_a, p.doc_b AS doc_b, ga.g AS g,
+         count(DISTINCT ga.doc_id) AS n_sides
+  FROM pairs p JOIN ga ON ga.doc_id IN (p.doc_a, p.doc_b)
+  GROUP BY p.doc_a, p.doc_b, ga.g
+)
+GROUP BY doc_a, doc_b
+""" % _MINHASH_BODY
+_q("dedup_ngram_jaccard", _MINHASH_CTE + _JACCARD_BODY,
+   _MINHASH_CTE_DUCK + _JACCARD_BODY)
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+
+_q("ann_cosine_topk", """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+       round(
+         aggregate(zip_with(e.embedding, q.qv,
+                            (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+         / (sqrt(aggregate(e.embedding, CAST(0.0 AS DOUBLE),
+                           (acc, v) -> acc + CAST(v AS DOUBLE) * v))
+            * sqrt(aggregate(q.qv, CAST(0.0 AS DOUBLE),
+                             (acc, v) -> acc + CAST(v AS DOUBLE) * v))),
+         3) AS cosine
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id <> 0
+ORDER BY cosine DESC, vec_id
+LIMIT 20
+""", """
+WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+       round(
+         list_dot_product(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE)), q.qv)
+         / (sqrt(list_dot_product(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE)),
+                 list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+            * sqrt(list_dot_product(q.qv, q.qv))),
+         3) AS cosine
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id <> 0
+ORDER BY cosine DESC, vec_id
+LIMIT 20
+""")
+
+# LSH-bucketed ANN: bucket by sign pattern of 8 deterministic pseudo-planes
+_ANN_BUCKET_EXPR = " + ".join(
+    "(CASE WHEN CAST(element_at(embedding, %d) AS DOUBLE) "
+    "- CAST(element_at(embedding, %d) AS DOUBLE) > 0 THEN %d ELSE 0 END)"
+    % (2 * b + 1, 2 * b + 2, 1 << b)
+    for b in range(8)
+)
+_ANN_BUCKET_EXPR_DUCK = " + ".join(
+    "(CASE WHEN CAST(embedding[%d] AS DOUBLE) "
+    "- CAST(embedding[%d] AS DOUBLE) > 0 THEN %d ELSE 0 END)"
+    % (2 * b + 1, 2 * b + 2, 1 << b)
+    for b in range(8)
+)
+_q("ann_lsh_buckets", f"""
+SELECT CAST({_ANN_BUCKET_EXPR} AS BIGINT) AS bucket,
+       count(*) AS n_vecs, min(vec_id) AS min_vec
+FROM embeddings
+GROUP BY 1
+""", f"""
+SELECT CAST({_ANN_BUCKET_EXPR_DUCK} AS BIGINT) AS bucket,
+       count(*) AS n_vecs, min(vec_id) AS min_vec
+FROM embeddings
+GROUP BY 1
+""")
+
+# ---------------------------------------------------------------------------
+# text analysis family
+
+_q("text_token_count", """
+SELECT doc_id,
+       CAST(size(split(trim(text), ' +')) AS BIGINT) AS ws_tokens,
+       CAST(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]',
+                                    0)) AS BIGINT) AS bpe_ish_tokens
+FROM documents
+""", """
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT)
+         AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+            AS BIGINT) AS bpe_ish_tokens
+FROM documents
+""")
+
+_q("text_quality_score", """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_m,
+       round(CAST(size(split(text, ' ')) AS DOUBLE)
+             / (length(text) + 1), 4) AS word_density,
+       round(CAST(length(regexp_replace(text, '[a-z ]', '')) AS DOUBLE)
+             / (length(text) + 1), 4) AS nonalpha_ratio
+FROM documents
+""", """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_m,
+       round(CAST(len(string_split(text, ' ')) AS DOUBLE)
+             / (length(text) + 1), 4) AS word_density,
+       round(CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+             / (length(text) + 1), 4) AS nonalpha_ratio
+FROM documents
+""")
+
+_q("text_lang_id", """
+SELECT doc_id, lang AS labeled,
+       CASE WHEN CAST(size(split(concat(' ', text, ' '), ' table | row | value '))
+                 AS BIGINT) - 1 > 0 THEN 'en' ELSE 'unk' END AS detected
+FROM documents
+""", """
+SELECT doc_id, lang AS labeled,
+       CASE WHEN CAST(len(regexp_split_to_array(concat(' ', text, ' '),
+                 ' table | row | value ')) AS BIGINT) - 1 > 0
+            THEN 'en' ELSE 'unk' END AS detected
+FROM documents
+""")
+
+_q("text_fingerprint", """
+SELECT doc_id,
+       md5(lower(regexp_replace(text, '\\\\s+', ' '))) AS fingerprint
+FROM documents
+""", """
+SELECT doc_id,
+       md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+""")
+
+# ---------------------------------------------------------------------------
+# streaming's batch twin: tumbling-window aggregation over the event stream
+
+_q("events_tumbling_window", """
+SELECT date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss')
+         AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""", """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""")
+
+# ---------------------------------------------------------------------------
+# extraction as SQL (the C2 coalesce shape on synthesized html) — the full
+# engine path is the non-SQL flagship below
+_WRAP = """
+SELECT doc_id,
+       concat('<html><head><title>', substr(text, 1, 40),
+              '</title><meta property="og:title" content="', substr(text, 1, 60),
+              '"><meta name="description" content="', substr(text, 1, 80),
+              '"></head><body><p>', text, '</p></body></html>') AS html
+FROM documents
+"""
+_q("og_title_regex_extract", f"""
+WITH pages AS ({_WRAP})
+SELECT doc_id,
+       regexp_extract(html, 'property="og:title" content="([^"]*)"', 1)
+         AS og_title,
+       coalesce(
+         nullif(regexp_extract(html,
+                'property="og:title" content="([^"]*)"', 1), ''),
+         nullif(regexp_extract(html, '<title>([^<]*)</title>', 1), ''))
+         AS headline
+FROM pages
+""")
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible: the fused extraction pipeline itself (rows-only check)
+
+def _extract_over_wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .pipeline import extract_spans
+
+    load_views(spark, sf_dir)
+    pages = spark.sql(_WRAP)
+    docs = pages.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(F.struct(
+            F.lit("html").alias("kind"),
+            F.col("html").alias("text"),
+            F.concat(F.lit("https://synth.example.com/doc/"),
+                     F.col("doc_id")).alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"),
+        )).alias("spans"),
+    )
+    out = extract_spans(docs, salt=True)
+    return out.select(
+        "doc_id", F.explode("spans").alias("span")
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+QUERIES["extract_spans_full"] = (_extract_over_wrapped, None)
+
+
+def spark_queries() -> dict:
+    return {name: fn for name, (fn, _sql_) in QUERIES.items()}
+
+
+def oracle_sqls() -> dict:
+    return {name: sql for name, (_fn, sql) in QUERIES.items()
+            if sql is not None}
