@@ -33,6 +33,11 @@ BENCH_QUERIES = (
 )
 
 
+def _warm(batches):
+    import unfurl_spark.functions.engine  # noqa: F401 — worker import warmup
+    yield from batches
+
+
 def corpus_dir(sf: float, n_docs: int) -> str:
     from unfurl_spark.sources.synthetic import write_corpus
 
@@ -59,6 +64,11 @@ def run(sf_dir: str, cpus: int, n_docs: int | None = None) -> dict:
     spark = session(app=f"unfurl_bench_{cpus}", master=f"local[{cpus}]",
                     shuffle_partitions=max(cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
+    # pre-fork python workers + import the package once per worker, so the
+    # measurement reflects steady-state throughput (a real cluster job
+    # amortizes worker init over hours)
+    spark.range(cpus * 2).repartition(cpus * 2).mapInPandas(
+        _warm, "id long").count()
     timings: dict[str, float] = {}
 
     # --- extraction throughput -------------------------------------------

@@ -97,14 +97,28 @@ def document_spans(doc_id: str, spans: list[dict],
     → (status, ctype, body); ``media_store`` maps media_ref → (ctype,
     payload bytes) for media/pdf spans.
     """
-    from .content import extract_content_blocks
-
     if not spans:
         return []
     ordered = sorted(spans, key=lambda s: s.get("offset") or 0)
     url = ordered[0].get("media_ref") or doc_id
     html_text = "".join(
         s.get("text") or "" for s in ordered if s.get("kind") == "html")
+    media_refs = [s.get("media_ref") for s in ordered
+                  if s.get("kind") in ("media", "pdf")]
+    return flat_document_spans(url, html_text, status, media_refs,
+                               oembed_store, context_store, media_store)
+
+
+def flat_document_spans(url: str, html_text: str, status: int,
+                        media_refs: list,
+                        oembed_store: dict | None = None,
+                        context_store: dict | None = None,
+                        media_store: dict | None = None) -> list[dict]:
+    """Flat-column kernel: (url, reassembled html, status, media refs) →
+    ordered output spans.  This is the shape the Spark stage feeds after
+    JVM-side span flattening (operators/pipeline.py)."""
+    from .content import extract_content_blocks
+
     out: list[dict] = []
 
     def emit(kind: str, text: str | None, media_ref: str | None = None):
@@ -139,11 +153,7 @@ def document_spans(doc_id: str, spans: list[dict],
         for block in extract_content_blocks(html_text):
             emit("body_text", block)
 
-    for s in ordered:
-        kind = s.get("kind")
-        if kind not in ("media", "pdf"):
-            continue
-        ref = s.get("media_ref")
+    for ref in media_refs:
         extracted = None
         if media_store is not None and ref in media_store:
             ctype, payload = media_store[ref]

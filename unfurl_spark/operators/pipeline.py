@@ -28,6 +28,23 @@ from ..schema import EXTRACTED
 # skew-tail documents (FIXTURES.md): 64 docs × ~1 MB typical ≈ 64 MB.
 DEFAULT_ARROW_BATCH = 64
 
+# Per-worker-process cache of deserialized broadcast values.  PySpark
+# re-reads a broadcast's pickle file on EVERY task (the Broadcast object is
+# recreated with each task's closure); for multi-MB side tables that costs
+# as much as the actual kernel work.  Worker processes are reused across
+# tasks, so a module-level cache keyed by the broadcast file path amortizes
+# the load to once per worker.
+_WORKER_BROADCAST_CACHE: dict = {}
+
+
+def _bvalue(b):
+    if b is None:
+        return None
+    key = getattr(b, "_path", None) or id(b)
+    if key not in _WORKER_BROADCAST_CACHE:
+        _WORKER_BROADCAST_CACHE[key] = b.value
+    return _WORKER_BROADCAST_CACHE[key]
+
 
 def session(app: str = "unfurl_spark", master: str | None = None,
             shuffle_partitions: int = 32) -> SparkSession:
@@ -36,9 +53,16 @@ def session(app: str = "unfurl_spark", master: str | None = None,
     if master:
         b = b.master(master)
     return (
-        b.config("spark.sql.adaptive.enabled", "true")
+        # local-mode JVM defaults to a 1g heap — with 32 concurrent tasks of
+        # document batches that means GC thrash; size it to the box
+        b.config("spark.driver.memory", "48g")
+        .config("spark.driver.maxResultSize", "8g")
+        .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # nested-document files are dense: smaller splits keep the scan
+        # stage as parallel as the cluster, not as the file layout
+        .config("spark.sql.files.maxPartitionBytes", "4m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(DEFAULT_ARROW_BATCH))
@@ -83,43 +107,83 @@ def extract_spans(
     b_ctx = sc.broadcast(context_store)
 
     has_status = "status" in df.columns
-    cols = ["doc_id", "spans"] + (["status"] if has_status else [])
-    narrow = df.select(*cols)
+
+    # JVM-side flattening: the nested spans column never crosses into
+    # Python — Catalyst reassembles the html payload (ordered chunk
+    # concat), the page URL, and the media-ref list as flat columns, which
+    # take the fast Arrow path (nested array<struct> → pandas conversion
+    # is the dominant cost otherwise).
+    #
+    # Stage 1 is scan + shuffle-write of the raw rows ONLY (cheap row
+    # serialization; parallelism bounded by input splits).  All expensive
+    # per-row work — the offset-sort reshape, the html chunk concat, and
+    # the Python kernel — lands AFTER the salt shuffle, where parallelism
+    # is num_partitions, not file layout.
+    pre = df.select(
+        "doc_id",
+        (F.col("status").cast("int") if has_status else F.lit(200))
+        .alias("status"),
+        "spans",
+    )
 
     if salt:
         # uniform redistribution by doc hash: a run of giant documents in
         # one input file cannot pin a single task (AQE cannot split a
         # skewed UDF stage input on its own — SURVEY.md §4)
         n = num_partitions or spark.sparkContext.defaultParallelism
-        narrow = narrow.repartition(n, F.xxhash64("doc_id"))
+        pre = pre.repartition(n, F.xxhash64("doc_id"))
+
+    # native sort_array over an offset-first struct reshape — no lambda
+    # comparator, whole-stage-friendly
+    ordered = F.sort_array(F.transform(
+        "spans",
+        lambda s: F.struct(
+            s["offset"].alias("offset"), s["kind"].alias("kind"),
+            s["text"].alias("text"), s["media_ref"].alias("media_ref"),
+        )))
+    narrow = pre.select(
+        "doc_id",
+        "status",
+        F.element_at(ordered, 1)["media_ref"].alias("url"),
+        F.array_join(
+            F.transform(
+                F.filter(ordered, lambda s: s["kind"] == F.lit("html")),
+                lambda s: F.coalesce(s["text"], F.lit(""))),
+            "").alias("html"),
+        F.transform(
+            F.filter(ordered, lambda s: s["kind"].isin("media", "pdf")),
+            lambda s: s["media_ref"]).alias("media_refs"),
+    )
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        from ..functions.engine import document_spans
+        from ..functions.engine import flat_document_spans
 
-        oe = b_oembed.value
-        med = b_media.value
-        ctx = b_ctx.value
+        oe = _bvalue(b_oembed)
+        med = _bvalue(b_media)
+        ctx = _bvalue(b_ctx)
         for pdf in batches:
             out_rows = []
-            statuses = pdf["status"] if "status" in pdf.columns else None
+            doc_ids = pdf["doc_id"].values
+            statuses = pdf["status"].values
+            urls = pdf["url"].values
+            htmls = pdf["html"].values
+            media_refs = pdf["media_refs"].values
             for i in range(len(pdf)):
-                doc_id = pdf["doc_id"].iloc[i]
-                spans = pdf["spans"].iloc[i]
-                status = int(statuses.iloc[i]) if statuses is not None else 200
-                in_spans = [dict(s) for s in spans]
-                n_bytes = sum(len(s.get("text") or "") for s in in_spans)
+                html = htmls[i] or ""
+                n_bytes = len(html)
                 try:
-                    spans_out = document_spans(
-                        doc_id, in_spans, status=status,
+                    spans_out = flat_document_spans(
+                        urls[i] or str(doc_ids[i]), html,
+                        int(statuses[i]), list(media_refs[i]),
                         oembed_store=oe, context_store=ctx,
                         media_store=med)
                     ok = "ok"
                 except Exception as e:  # noqa: BLE001 — per-doc isolation
                     spans_out = []
                     ok = type(e).__name__
-                out_rows.append((doc_id, spans_out, n_bytes, ok))
+                out_rows.append((doc_ids[i], spans_out, n_bytes, ok))
             yield pd.DataFrame(
                 out_rows, columns=["doc_id", "spans", "n_input_bytes", "ok"])
 

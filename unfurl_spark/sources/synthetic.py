@@ -295,6 +295,8 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = 42) -> dict:
     for name, rows in corpus.items():
         path = os.path.join(out_dir, f"{name}.parquet")
         table = pa.Table.from_pylist(rows, schema=schemas[name])
-        pq.write_table(table, path)
+        # small row groups so a Spark scan parallelizes — a single giant
+        # row group serializes the whole read into one task
+        pq.write_table(table, path, row_group_size=1024)
         paths[name] = path
     return paths
