@@ -117,7 +117,8 @@ def flat_document_spans(url: str, html_text: str, status: int,
     """Flat-column kernel: (url, reassembled html, status, media refs) →
     ordered output spans.  This is the shape the Spark stage feeds after
     JVM-side span flattening (operators/pipeline.py)."""
-    from .content import extract_content_blocks
+    from .content import classify_blocks
+    from .htmlmeta import parse_html_full
 
     out: list[dict] = []
 
@@ -126,7 +127,7 @@ def flat_document_spans(url: str, html_text: str, status: int,
                     "offset": len(out)})
 
     if html_text:
-        metadata = parse_html(html_text, url)
+        metadata, raw_blocks = parse_html_full(html_text, url)
         oembed = None
         jsonld_blocks: list[str] = []
         if metadata is not None:
@@ -150,7 +151,7 @@ def flat_document_spans(url: str, html_text: str, status: int,
             emit("og_image", img.get("description") or "", img.get("url"))
         for block in jsonld_blocks:
             emit("jsonld", block)
-        for block in extract_content_blocks(html_text):
+        for block in classify_blocks(raw_blocks):
             emit("body_text", block)
 
     for ref in media_refs:

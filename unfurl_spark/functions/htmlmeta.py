@@ -112,19 +112,37 @@ def _set(mapping: dict, key: str, value: str) -> None:
 
 class _Frame:
     """One open element: carries any microdata item / text capture."""
-    __slots__ = ("tag", "item", "text_parts", "capture_text")
+    __slots__ = ("tag", "item", "text_parts", "capture_text",
+                 "c_skip", "c_boiler", "c_anchor")
 
     def __init__(self, tag: str):
         self.tag = tag
         self.item: dict | None = None        # microdata itemscope node
         self.text_parts: list[str] | None = None  # text-content capture
         self.capture_text = False
+        self.c_skip = False
+        self.c_boiler = False
+        self.c_anchor = False
+
+
+# content-block segmentation sets (shared with functions/content.py — the
+# body_text strip runs in the SAME parse pass as the metadata harvest)
+_C_BLOCK = {
+    "p", "div", "section", "article", "main", "li", "td", "th",
+    "blockquote", "pre", "h1", "h2", "h3", "h4", "h5", "h6",
+    "figcaption", "summary", "dd", "dt", "br", "tr", "table", "ul", "ol",
+}
+_C_BLOCK_END = _C_BLOCK | {"body", "html"}
+_C_SKIP = {"script", "style", "noscript", "template", "svg", "iframe",
+           "object", "option", "select", "textarea", "head"}
+_C_BOILER = {"nav", "header", "footer", "aside", "form", "menu"}
 
 
 class MetaHandler(HTMLParser):
-    """Single-pass SAX-style harvest of every metadata source class."""
+    """Single-pass SAX-style harvest of every metadata source class,
+    optionally also segmenting body text into content blocks."""
 
-    def __init__(self, url: str):
+    def __init__(self, url: str, collect_content: bool = False):
         super().__init__(convert_charrefs=True)
         self.url = url
         self.result: dict = {"icons": [], "alternate": [], "jsonld_blocks": []}
@@ -137,6 +155,26 @@ class MetaHandler(HTMLParser):
         self._script_jsonld = False
         self._script_parts: list[str] = []
         self._title_done = False
+        # content-block state (body_text strip)
+        self._content = collect_content
+        self.blocks: list[tuple[str, int, bool]] = []  # (text, link_chars, boiler)
+        self._c_parts: list[str] | None = None
+        self._c_link_chars = 0
+        self._c_boiler = False
+        self._c_skip = 0
+        self._c_boiler_depth = 0
+        self._c_anchor = 0
+
+    # -- content blocks --------------------------------------------------------
+
+    def _c_flush(self):
+        if self._c_parts is None:
+            return
+        text = _WS.sub(" ", "".join(self._c_parts)).strip()
+        if text:
+            self.blocks.append((text, self._c_link_chars, self._c_boiler))
+        self._c_parts = None
+        self._c_link_chars = 0
 
     # -- helpers -------------------------------------------------------------
 
@@ -199,6 +237,20 @@ class MetaHandler(HTMLParser):
         if tag not in _VOID:
             frame = _Frame(tag)
             self._stack.append(frame)
+
+        if self._content:
+            if tag in _C_SKIP and frame is not None:
+                self._c_skip += 1
+                frame.c_skip = True
+            if tag in _C_BOILER and frame is not None:
+                self._c_boiler_depth += 1
+                frame.c_boiler = True
+            if tag == "a":
+                self._c_anchor += 1
+                if frame is not None:
+                    frame.c_anchor = True
+            if tag in _C_BLOCK:
+                self._c_flush()
 
         if tag == "title" and not self._title_done and frame is not None:
             frame.capture_text = True
@@ -269,6 +321,15 @@ class MetaHandler(HTMLParser):
             self._close_frame(self._stack.pop())
 
     def _close_frame(self, frame: _Frame) -> None:
+        if self._content:
+            if frame.c_skip and self._c_skip > 0:
+                self._c_skip -= 1
+            if frame.c_boiler and self._c_boiler_depth > 0:
+                self._c_boiler_depth -= 1
+            if frame.c_anchor and self._c_anchor > 0:
+                self._c_anchor -= 1
+            if frame.tag in _C_BLOCK_END:
+                self._c_flush()
         if frame.tag == "title" and frame.capture_text and frame.text_parts is not None:
             if not self._title_done:
                 _set(self._map("html"), "title",
@@ -306,6 +367,15 @@ class MetaHandler(HTMLParser):
         for frame in self._stack:
             if frame.capture_text and frame.text_parts is not None:
                 frame.text_parts.append(data)
+        if self._content and not self._c_skip and data.strip():
+            # script/style run through _Frame c_skip except inline <script>
+            # without jsonld type — those still open a frame in _C_SKIP
+            if self._c_parts is None:
+                self._c_parts = []
+                self._c_boiler = self._c_boiler_depth > 0
+            self._c_parts.append(data)
+            if self._c_anchor:
+                self._c_link_chars += len(data)
 
     # -- meta/link -------------------------------------------------------------
 
@@ -436,6 +506,8 @@ class MetaHandler(HTMLParser):
     def finalize(self) -> dict:
         while self._stack:
             self._close_frame(self._stack.pop())
+        if self._content:
+            self._c_flush()
         for frame, slot, parts in self._pending_text:
             slot.append(_WS.sub(" ", "".join(parts)).strip())
         _strip_text_slots(self._micro_top)
@@ -477,11 +549,20 @@ def parse_html(html_text: str, url: str) -> dict | None:
     """Parse one HTML document into the Result dict. Error → None
     (reference: parse failure → bare website, unfurl-html/src/index.ts:49-50).
     """
-    handler = MetaHandler(url)
+    result, _ = parse_html_full(html_text, url, collect_content=False)
+    return result
+
+
+def parse_html_full(html_text: str, url: str, collect_content: bool = True
+                    ) -> tuple[dict | None, list]:
+    """One pass → (Result dict | None, content blocks).  Blocks are
+    (text, link_chars, in_boilerplate_container) triples for the
+    body_text classifier (functions/content.py)."""
+    handler = MetaHandler(url, collect_content=collect_content)
     handler._pending_text = []
     try:
         handler.feed(html_text)
         handler.close()
     except Exception:
-        return None
-    return handler.finalize()
+        return None, []
+    return handler.finalize(), handler.blocks

@@ -25,8 +25,9 @@ from pyspark.sql import functions as F
 from ..schema import EXTRACTED
 
 # One Arrow batch should stay well under executor memory even with 100×
-# skew-tail documents (FIXTURES.md): 64 docs × ~1 MB typical ≈ 64 MB.
-DEFAULT_ARROW_BATCH = 64
+# skew-tail documents (FIXTURES.md): 256 docs × ~1 MB typical ≈ 256 MB peak
+# per concurrent task in the worst tail; typical docs are 100× smaller.
+DEFAULT_ARROW_BATCH = 256
 
 # Per-worker-process cache of deserialized broadcast values.  PySpark
 # re-reads a broadcast's pickle file on EVERY task (the Broadcast object is
@@ -62,13 +63,51 @@ def session(app: str = "unfurl_spark", master: str | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # nested-document files are dense: smaller splits keep the scan
         # stage as parallel as the cluster, not as the file layout
-        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.maxPartitionBytes", "1m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(DEFAULT_ARROW_BATCH))
         .config("spark.python.worker.faulthandler.enabled", "true")
         .getOrCreate()
     )
+
+
+class SideTables:
+    """Broadcast handles for the record-scoped lookup tables.  Build ONCE
+    per job and pass to every ``extract_spans`` call — the driver-side
+    collect + pickle of these tables is seconds of single-threaded work."""
+
+    __slots__ = ("oembed", "media", "contexts")
+
+    def __init__(self, oembed, media, contexts):
+        self.oembed = oembed
+        self.media = media
+        self.contexts = contexts
+
+
+def broadcast_side_tables(spark: SparkSession,
+                          oembed_df: DataFrame | None = None,
+                          media_df: DataFrame | None = None,
+                          context_store: dict | None = None) -> SideTables:
+    sc = spark.sparkContext
+    oembed_store = None
+    if oembed_df is not None:
+        t = oembed_df.select("ref", "status", "ctype", "body").toArrow()
+        oembed_store = dict(zip(
+            t.column("ref").to_pylist(),
+            zip(t.column("status").to_pylist(), t.column("ctype").to_pylist(),
+                t.column("body").to_pylist()),
+        ))
+    media_store = None
+    if media_df is not None:
+        t = media_df.select("media_ref", "ctype", "payload").toArrow()
+        media_store = dict(zip(
+            t.column("media_ref").to_pylist(),
+            zip(t.column("ctype").to_pylist(),
+                t.column("payload").to_pylist()),
+        ))
+    return SideTables(sc.broadcast(oembed_store), sc.broadcast(media_store),
+                      sc.broadcast(context_store))
 
 
 def extract_spans(
@@ -78,33 +117,23 @@ def extract_spans(
     media_df: DataFrame | None = None,
     num_partitions: int | None = None,
     salt: bool = True,
+    side: SideTables | None = None,
+    assume_sorted: bool = False,
 ) -> DataFrame:
     """(doc_id, spans[, status]) → (doc_id, spans, n_input_bytes, ok).
 
     ``oembed_df``: (ref, status, ctype, body) side table, broadcast to
     executors.  ``media_df``: (media_ref, ctype, payload) side table for
-    media/pdf spans.  ``context_store``: {url: @context doc}.
+    media/pdf spans.  ``context_store``: {url: @context doc}.  Pass a
+    prebuilt ``side`` (broadcast_side_tables) to amortize the driver-side
+    collect across calls.
     """
     spark = df.sparkSession
-    sc = spark.sparkContext
 
-    oembed_store = None
-    if oembed_df is not None:
-        oembed_store = {
-            r["ref"]: (r["status"], r["ctype"], r["body"])
-            for r in oembed_df.select("ref", "status", "ctype", "body")
-            .collect()
-        }
-    media_store = None
-    if media_df is not None:
-        media_store = {
-            r["media_ref"]: (r["ctype"], bytes(r["payload"]))
-            for r in media_df.select("media_ref", "ctype", "payload")
-            .collect()
-        }
-    b_oembed = sc.broadcast(oembed_store)
-    b_media = sc.broadcast(media_store)
-    b_ctx = sc.broadcast(context_store)
+    if side is None:
+        side = broadcast_side_tables(spark, oembed_df, media_df,
+                                     context_store)
+    b_oembed, b_media, b_ctx = side.oembed, side.media, side.contexts
 
     has_status = "status" in df.columns
 
@@ -133,14 +162,19 @@ def extract_spans(
         n = num_partitions or spark.sparkContext.defaultParallelism
         pre = pre.repartition(n, F.xxhash64("doc_id"))
 
-    # native sort_array over an offset-first struct reshape — no lambda
-    # comparator, whole-stage-friendly
-    ordered = F.sort_array(F.transform(
-        "spans",
-        lambda s: F.struct(
-            s["offset"].alias("offset"), s["kind"].alias("kind"),
-            s["text"].alias("text"), s["media_ref"].alias("media_ref"),
-        )))
+    if assume_sorted:
+        # writers that guarantee offset order (our importer/generator/driver)
+        # skip the reshape+sort copy entirely
+        ordered = F.col("spans")
+    else:
+        # native sort_array over an offset-first struct reshape — no lambda
+        # comparator, whole-stage-friendly
+        ordered = F.sort_array(F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["offset"].alias("offset"), s["kind"].alias("kind"),
+                s["text"].alias("text"), s["media_ref"].alias("media_ref"),
+            )))
     narrow = pre.select(
         "doc_id",
         "status",
