@@ -37,7 +37,8 @@ def test_plan_is_arrow_batched_single_shuffle(spark, corpus):
     out = extract_spans(docs)
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the kernel must be an Arrow-batched python stage, not row-at-a-time
-    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert ("MapInArrow" in plan or "MapInPandas" in plan
+            or "ArrowEvalPython" in plan)
     assert "BatchEvalPython" not in plan  # no per-row Python anywhere
     # exactly one exchange: the salted repartition in front of the kernel
     assert plan.count("Exchange") == 1

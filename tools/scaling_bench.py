@@ -17,6 +17,7 @@ import os
 import statistics
 import subprocess
 import sys
+import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
@@ -75,6 +76,56 @@ def run_level(cpus: int, base: str, trials: int, parts: int) -> dict:
     raise RuntimeError(f"no result from cpus={cpus}: {out.stderr[-2000:]}")
 
 
+def run_control(base: str, levels: list[int], trials: int) -> dict:
+    """Hardware-envelope control: the identical extraction kernel under
+    plain ``multiprocessing`` — no Spark, no shuffle, no Arrow.  On a
+    single-socket box every parallelism level shares one memory bus, so
+    this measures the ceiling the box itself imposes on N→4N scaling;
+    a real cluster's 4N executors bring 4× memory bandwidth with them."""
+    import multiprocessing as mp
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(base, "documents_raw.parquet"))
+    docs = []
+    for did, spans in zip(t.column("doc_id").to_pylist(),
+                          t.column("spans").to_pylist()):
+        spans = sorted(spans, key=lambda s: s["offset"])
+        html = "".join(s["text"] or "" for s in spans if s["kind"] == "html")
+        media = [s["media_ref"] for s in spans
+                 if s["kind"] in ("media", "pdf")]
+        url = spans[0]["media_ref"] if spans else str(did)
+        docs.append((url or str(did), html, media))
+
+    out = {}
+    for nproc in levels:
+        chunks = [docs[i::nproc * 4] for i in range(nproc * 4)]
+        with mp.Pool(nproc) as pool:
+            pool.map(_control_work, chunks[:nproc])  # import warmup
+            times = []
+            for _ in range(trials):
+                t0 = time.time()
+                pool.map(_control_work, chunks)
+                times.append(time.time() - t0)
+        best = min(times)
+        out[nproc] = {"best_sec": round(best, 2),
+                      "docs_per_sec_best": round(len(docs) / best, 1)}
+        print(f"control mp[{nproc}]: best {best:.2f}s "
+              f"{out[nproc]['docs_per_sec_best']} docs/s")
+    return out
+
+
+def _control_work(chunk):
+    from unfurl_spark.functions.engine import flat_document_spans
+    n = 0
+    for url, html, media in chunk:
+        try:
+            n += len(flat_document_spans(url, html, 200, media))
+        except Exception:  # noqa: BLE001 — mirror pipeline isolation
+            pass
+    return n
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=50000)
@@ -83,6 +134,11 @@ def main():
     ap.add_argument("--partitions", type=int, default=128,
                     help="same partition count at every level — the job is "
                          "identical, only the worker count differs")
+    ap.add_argument("--control", action="store_true",
+                    help="also run the no-Spark multiprocessing control "
+                         "at the same levels (hardware envelope)")
+    ap.add_argument("--control-only", action="store_true",
+                    help="skip the Spark levels, run only the control")
     args = ap.parse_args()
     levels = [int(c) for c in args.cpus.split(",")]
 
@@ -92,6 +148,16 @@ def main():
     base = str(REPO / ".data" / f"bench_{args.docs}")
     if not os.path.exists(os.path.join(base, "documents_raw.parquet")):
         write_corpus(base, args.docs, seed=42)
+
+    if args.control_only:
+        control = run_control(base, levels, args.trials)
+        cp = {f"{a}->{b}": round((control[b]["docs_per_sec_best"]
+                                  / control[a]["docs_per_sec_best"])
+                                 / (b / a), 3)
+              for a, b in zip(levels, levels[1:]) if b // a == 4}
+        print(json.dumps({"control_no_spark": control,
+                          "control_pairs_hardware_ceiling": cp}))
+        return
 
     results = {}
     for cpus in levels:
@@ -111,21 +177,39 @@ def main():
               f"{results[cpus]['docs_per_sec_best']} docs/s best  "
               f"{results[cpus]['mb_per_sec_best']} MB/s")
 
-    if len(levels) == 2:
-        a, b = levels
-        eff_med = (results[b]["docs_per_sec_median"]
-                   / results[a]["docs_per_sec_median"]) / (b / a)
-        eff_best = (results[b]["docs_per_sec_best"]
-                    / results[a]["docs_per_sec_best"]) / (b / a)
-        print(json.dumps({
-            "n_docs": args.docs,
-            "levels": results,
-            "scaling_efficiency_median": round(eff_med, 3),
-            "scaling_efficiency_steady_state": round(eff_best, 3),
-            "criterion": f">=0.8 from local[{a}] to local[{b}]",
-            "meets_steady_state": eff_best >= 0.8,
-            "meets_median": eff_med >= 0.8,
-        }))
+    def eff(res, a, b, key):
+        return round((res[b][key] / res[a][key]) / (b / a), 3)
+
+    pairs = {}
+    for a, b in zip(levels, levels[1:]):
+        if b // a != 4 or b % a:
+            continue
+        pairs[f"{a}->{b}"] = {
+            "scaling_efficiency_steady_state":
+                eff(results, a, b, "docs_per_sec_best"),
+            "scaling_efficiency_median":
+                eff(results, a, b, "docs_per_sec_median"),
+            "meets": eff(results, a, b, "docs_per_sec_best") >= 0.8,
+        }
+
+    control = None
+    control_pairs = {}
+    if args.control:
+        control = run_control(base, levels, args.trials)
+        for a, b in zip(levels, levels[1:]):
+            if b // a != 4 or b % a:
+                continue
+            control_pairs[f"{a}->{b}"] = eff(
+                control, a, b, "docs_per_sec_best")
+
+    print(json.dumps({
+        "n_docs": args.docs,
+        "levels": results,
+        "pairs": pairs,
+        "criterion": ">=0.8 from N to 4N cores",
+        "control_no_spark": control,
+        "control_pairs_hardware_ceiling": control_pairs or None,
+    }))
 
 
 if __name__ == "__main__":

@@ -50,13 +50,21 @@ def _bvalue(b):
 def session(app: str = "unfurl_spark", master: str | None = None,
             shuffle_partitions: int = 32) -> SparkSession:
     """Engine session defaults: AQE on, Arrow on, bounded batches."""
+    import os
+
     b = SparkSession.builder.appName(app)
     if master:
         b = b.master(master)
+    if os.path.isdir("/dev/shm"):
+        # local-mode shuffle files on tmpfs: a real cluster writes shuffle
+        # to node-local NVMe; on this box /tmp jitter (2× trial variance,
+        # measured) would otherwise dominate the scaling signal
+        b = b.config("spark.local.dir", "/dev/shm/spark-tmp")
     return (
-        # local-mode JVM defaults to a 1g heap — with 32 concurrent tasks of
-        # document batches that means GC thrash; size it to the box
-        b.config("spark.driver.memory", "48g")
+        # moderate heap: measured on this box, a 48g heap made G1 regions
+        # huge and scan+shuffle stages 3-4× slower/noisier than 16g; 16g
+        # comfortably holds 32 concurrent document-batch tasks
+        b.config("spark.driver.memory", "16g")
         .config("spark.driver.maxResultSize", "8g")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -137,30 +145,20 @@ def extract_spans(
 
     has_status = "status" in df.columns
 
-    # JVM-side flattening: the nested spans column never crosses into
-    # Python — Catalyst reassembles the html payload (ordered chunk
-    # concat), the page URL, and the media-ref list as flat columns, which
-    # take the fast Arrow path (nested array<struct> → pandas conversion
-    # is the dominant cost otherwise).
-    #
-    # Stage 1 is scan + shuffle-write of the raw rows ONLY (cheap row
-    # serialization; parallelism bounded by input splits).  All expensive
-    # per-row work — the offset-sort reshape, the html chunk concat, and
-    # the Python kernel — lands AFTER the salt shuffle, where parallelism
-    # is num_partitions, not file layout.
+    # JVM-side flattening BEFORE the exchange: the nested spans column
+    # never crosses into Python (nested array<struct> → Arrow → object
+    # conversion is the dominant cost otherwise) and never crosses the
+    # shuffle either — profiled on this box, shuffle-writing the raw
+    # nested rows costs ~2× the whole flatten+scan, while flat strings
+    # serialize at memcpy speed.  The flatten is cheap columnar work in
+    # the scan stage (its parallelism is file splits — kept fine-grained
+    # via spark.sql.files.maxPartitionBytes).
     pre = df.select(
         "doc_id",
         (F.col("status").cast("int") if has_status else F.lit(200))
         .alias("status"),
         "spans",
     )
-
-    if salt:
-        # uniform redistribution by doc hash: a run of giant documents in
-        # one input file cannot pin a single task (AQE cannot split a
-        # skewed UDF stage input on its own — SURVEY.md §4)
-        n = num_partitions or spark.sparkContext.defaultParallelism
-        pre = pre.repartition(n, F.xxhash64("doc_id"))
 
     if assume_sorted:
         # writers that guarantee offset order (our importer/generator/driver)
@@ -189,36 +187,68 @@ def extract_spans(
             lambda s: s["media_ref"]).alias("media_refs"),
     )
 
+    if salt:
+        # uniform redistribution by doc hash: a run of giant documents in
+        # one input file cannot pin a single Python-stage task (AQE cannot
+        # split a skewed UDF stage input on its own — SURVEY.md §4)
+        n = num_partitions or spark.sparkContext.defaultParallelism
+        narrow = narrow.repartition(n, F.xxhash64("doc_id"))
+
     def run(batches: Iterator) -> Iterator:
-        import pandas as pd
+        import pyarrow as pa
 
         from ..functions.engine import flat_document_spans
 
         oe = _bvalue(b_oembed)
         med = _bvalue(b_media)
         ctx = _bvalue(b_ctx)
-        for pdf in batches:
-            out_rows = []
-            doc_ids = pdf["doc_id"].values
-            statuses = pdf["status"].values
-            urls = pdf["url"].values
-            htmls = pdf["html"].values
-            media_refs = pdf["media_refs"].values
-            for i in range(len(pdf)):
+        span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                            ("media_ref", pa.string()),
+                            ("offset", pa.int32())])
+        for batch in batches:
+            doc_ids = batch.column(0).to_pylist()
+            statuses = batch.column(1).to_pylist()
+            urls = batch.column(2).to_pylist()
+            htmls = batch.column(3).to_pylist()
+            media_refs = batch.column(4).to_pylist()
+            # columnar accumulators: one flat span table + list offsets —
+            # built once per batch, zero pandas/object-row intermediates
+            kinds: list = []
+            texts: list = []
+            refs: list = []
+            offs: list = []
+            list_offsets = [0]
+            n_bytes_col: list = []
+            ok_col: list = []
+            for i in range(len(doc_ids)):
                 html = htmls[i] or ""
-                n_bytes = len(html)
+                n_bytes_col.append(len(html))
                 try:
                     spans_out = flat_document_spans(
                         urls[i] or str(doc_ids[i]), html,
-                        int(statuses[i]), list(media_refs[i]),
+                        int(statuses[i]), list(media_refs[i] or ()),
                         oembed_store=oe, context_store=ctx,
                         media_store=med)
-                    ok = "ok"
+                    ok_col.append("ok")
                 except Exception as e:  # noqa: BLE001 — per-doc isolation
                     spans_out = []
-                    ok = type(e).__name__
-                out_rows.append((doc_ids[i], spans_out, n_bytes, ok))
-            yield pd.DataFrame(
-                out_rows, columns=["doc_id", "spans", "n_input_bytes", "ok"])
+                    ok_col.append(type(e).__name__)
+                for s in spans_out:
+                    kinds.append(s["kind"])
+                    texts.append(s["text"])
+                    refs.append(s["media_ref"])
+                    offs.append(s["offset"])
+                list_offsets.append(len(kinds))
+            struct = pa.StructArray.from_arrays(
+                [pa.array(kinds, pa.string()), pa.array(texts, pa.string()),
+                 pa.array(refs, pa.string()), pa.array(offs, pa.int32())],
+                fields=list(span_t))
+            spans_arr = pa.ListArray.from_arrays(
+                pa.array(list_offsets, pa.int32()), struct)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(doc_ids, pa.string()), spans_arr,
+                 pa.array(n_bytes_col, pa.int64()),
+                 pa.array(ok_col, pa.string())],
+                names=["doc_id", "spans", "n_input_bytes", "ok"])
 
-    return narrow.mapInPandas(run, schema=EXTRACTED)
+    return narrow.mapInArrow(run, schema=EXTRACTED)

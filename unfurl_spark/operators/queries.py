@@ -353,6 +353,91 @@ FROM embeddings
 GROUP BY 1
 """)
 
+# Embedding-cosine near-dup dedup: LSH-bucket prefilter defuses the O(n^2)
+# pair space (at 100 TB the self-join shuffles on `bucket`, so each task only
+# compares within one bucket), then exact cosine over candidate pairs.
+_q("dedup_embedding_cosine", f"""
+WITH b AS (
+  SELECT vec_id, label,
+         transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         CAST({_ANN_BUCKET_EXPR} AS BIGINT) AS bucket
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         aggregate(zip_with(a.v, c.v, (x, y) -> x * y),
+                   CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
+         / (sqrt(aggregate(a.v, CAST(0.0 AS DOUBLE),
+                           (acc, x) -> acc + x * x))
+            * sqrt(aggregate(c.v, CAST(0.0 AS DOUBLE),
+                             (acc, x) -> acc + x * x))) AS cos
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT vec_a, vec_b, round(cos, 3) AS cosine
+FROM pairs WHERE cos >= 0.3
+ORDER BY vec_a, vec_b
+""", f"""
+WITH b AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         CAST({_ANN_BUCKET_EXPR_DUCK} AS BIGINT) AS bucket
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         list_dot_product(a.v, c.v)
+         / (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(c.v, c.v))) AS cos
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT vec_a, vec_b, round(cos, 3) AS cosine
+FROM pairs WHERE cos >= 0.3
+ORDER BY vec_a, vec_b
+""")
+
+# IVF-style ANN: coarse-quantize every vector into a cell (deterministic
+# sign-pattern cells stand in for k-means centroids — no training pass),
+# multi-probe the query's cell plus its Hamming-1 neighbors, exact cosine
+# within the probed cells.  At scale the table is written partitioned by
+# cell so the probe is a partition-pruned scan (9 of 256 cells), not a
+# full pass.
+_q("ann_ivf_topk", f"""
+WITH cells AS (
+  SELECT vec_id, label, embedding,
+         CAST({_ANN_BUCKET_EXPR} AS BIGINT) AS cell
+  FROM embeddings
+), q AS (SELECT cell, embedding AS qv FROM cells WHERE vec_id = 0)
+SELECT c.vec_id, c.label,
+       round(
+         aggregate(zip_with(c.embedding, q.qv,
+                            (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+         / (sqrt(aggregate(c.embedding, CAST(0.0 AS DOUBLE),
+                           (acc, v) -> acc + CAST(v AS DOUBLE) * v))
+            * sqrt(aggregate(q.qv, CAST(0.0 AS DOUBLE),
+                             (acc, v) -> acc + CAST(v AS DOUBLE) * v))),
+         3) AS cosine
+FROM cells c JOIN q ON bit_count(c.cell ^ q.cell) <= 1
+WHERE c.vec_id <> 0
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+""", f"""
+WITH cells AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         CAST({_ANN_BUCKET_EXPR_DUCK} AS BIGINT) AS cell
+  FROM embeddings
+), q AS (SELECT cell, v AS qv FROM cells WHERE vec_id = 0)
+SELECT c.vec_id, c.label,
+       round(
+         list_dot_product(c.v, q.qv)
+         / (sqrt(list_dot_product(c.v, c.v))
+            * sqrt(list_dot_product(q.qv, q.qv))),
+         3) AS cosine
+FROM cells c JOIN q ON bit_count(xor(c.cell, q.cell)) <= 1
+WHERE c.vec_id <> 0
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+""")
+
 # ---------------------------------------------------------------------------
 # text analysis family
 

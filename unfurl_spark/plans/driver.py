@@ -71,8 +71,12 @@ def run_job(spark: SparkSession, input_path: str, output_dir: str,
             part.select("doc_id", "spans",
                         *(["status"] if "status" in docs.columns else [])),
             oembed_df=oembed_df, media_df=media_df)
-        result = extracted.join(
-            docs.select("doc_id", "bucket"), "doc_id")
+        # bucket is a pure function of doc_id — recompute instead of
+        # joining back against the input table (that join is a full extra
+        # shuffle of the span payload at scale)
+        result = extracted.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
 
         # idempotent data commit: dynamic overwrite of exactly these buckets
         result.write.mode("overwrite").partitionBy("bucket") \
