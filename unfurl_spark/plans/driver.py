@@ -46,7 +46,9 @@ def run_job(spark: SparkSession, input_path: str, output_dir: str,
             oembed_path: str | None = None, media_path: str | None = None,
             n_buckets: int = 16, buckets_per_job: int = 4,
             run_id: str | None = None) -> dict:
-    from ..operators.pipeline import extract_spans
+    # absolute import: this file doubles as a spark-submit entry script
+    # (no parent package when launched via --py-files + script path)
+    from unfurl_spark.operators.pipeline import extract_spans
 
     run_id = run_id or f"run-{int(time.time())}"
     out_data = os.path.join(output_dir, "spans")
@@ -117,7 +119,7 @@ def main() -> None:
     ap.add_argument("--master")
     args = ap.parse_args()
 
-    from ..operators.pipeline import session
+    from unfurl_spark.operators.pipeline import session
 
     spark = session(app="unfurl_spark_driver", master=args.master)
     summary = run_job(spark, args.input, args.output,
