@@ -14,6 +14,7 @@ from __future__ import annotations
 import html as _html
 import math
 import re
+from functools import lru_cache
 from datetime import datetime, timedelta, timezone
 from urllib.parse import quote, urljoin, urlsplit
 
@@ -227,8 +228,13 @@ _QUERY_SAFE = "/:@!$&'()*+,;=?~[]%-._"
 _FRAG_SAFE = "/:@!$&'()*+,;=?~[]%-._"
 
 
+@lru_cache(maxsize=8192)
 def whatwg_url(value: str, base: str | None = None) -> str | None:
     """WHATWG ``new URL(value, base).toString()`` subset.
+
+    Pure function of (value, base) — LRU-cached per worker process:
+    extractors re-resolve the same page/og URLs many times per doc,
+    and workers see many docs from the same site in a batch.
 
     Lowercases scheme/host, strips default ports, normalizes dot segments
     for special schemes, gives special-scheme URLs a "/" path, and
