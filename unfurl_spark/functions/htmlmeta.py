@@ -165,6 +165,12 @@ class MetaHandler(HTMLParser):
         self._c_boiler_depth = 0
         self._c_anchor = 0
 
+    # line/column tracking is dead weight here (getpos is never consulted;
+    # errors fall back per-document) — html.parser calls updatepos on every
+    # token, ~4% of kernel time profiled
+    def updatepos(self, i, j):  # noqa: D102 — HTMLParser internal
+        return j
+
     # -- content blocks --------------------------------------------------------
 
     def _c_flush(self):

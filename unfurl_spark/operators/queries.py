@@ -174,6 +174,58 @@ ORDER BY revenue DESC, o_orderkey
 LIMIT 10
 """)
 
+# relational competence: TPC-H Q5-style multi-join with broadcastable dims
+_q("tpch_q5_region_revenue", """
+SELECT n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation
+""")
+
+# relational competence: TPC-H Q6 (pure pushdown-filter scan agg)
+_q("tpch_q6_forecast", """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= CAST('1994-01-01' AS DATE)
+  AND l_shipdate < CAST('1995-01-01' AS DATE)
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+
+# relational competence: TPC-H Q10-style top returning customers
+_q("tpch_q10_returns", """
+SELECT c.c_custkey, c.c_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       n.n_name AS nation
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+
+# grouped top-k per group (window rank) — dedup family's per-key keeper
+_q("topk_per_group", """
+SELECT lang, doc_id, n_chars
+FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 3
+""")
+
 # window analytics: running per-user sums (checkpointable progress metric)
 _q("window_running_sum", """
 SELECT event_id, user_id,
@@ -440,6 +492,26 @@ LIMIT 10
 
 # ---------------------------------------------------------------------------
 # text analysis family
+
+# Rabin-Karp-style rolling polynomial hash: acc = (acc*31 + byte) mod p.
+# Streaming-friendly (a k-char window variant drops the leading term with
+# a precomputed 31^k) — here the full-document hash doubles as an exact
+# dedup fingerprint computable without materializing the text twice.
+_q("text_rolling_hash", """
+SELECT doc_id,
+       aggregate(transform(split(text, ''), ch -> ascii(ch)),
+                 CAST(0 AS BIGINT),
+                 (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
+FROM documents
+""", """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split_regex(text, ''),
+                                     ch -> CAST(ascii(ch) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
+FROM documents
+""")
 
 _q("text_token_count", """
 SELECT doc_id,
