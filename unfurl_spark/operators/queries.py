@@ -226,6 +226,50 @@ FROM (
 ) WHERE rn <= 3
 """)
 
+# gaps-and-islands sessionization — the generic relational form of the
+# stateful streaming sessionizer (streaming/windows.py::sessionize)
+_q("sessionize_gaps_islands", """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR unix_micros(CAST(ts AS TIMESTAMP))
+                   - unix_micros(CAST(lag(ts) OVER w AS TIMESTAMP))
+                   > 7200000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE user_id < 40
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM marked
+)
+SELECT user_id, CAST(session_id AS INT) AS session_id,
+       count(*) AS n_events,
+       date_format(min(ts), 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS session_start,
+       date_format(max(ts), 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS session_end
+FROM sess GROUP BY user_id, session_id
+""", """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 7200000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE user_id < 40
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM marked
+)
+SELECT user_id, CAST(session_id AS INT) AS session_id,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+FROM sess GROUP BY user_id, session_id
+""")
+
 # window analytics: running per-user sums (checkpointable progress metric)
 _q("window_running_sum", """
 SELECT event_id, user_id,

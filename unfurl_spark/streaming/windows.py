@@ -1,0 +1,162 @@
+"""Event-time streaming analytics: watermarked windowed aggregation and
+a custom stateful operator (sessionization) via applyInPandasWithState.
+
+The reference has no streaming semantics (SURVEY §2.5); these are the
+engine-side capabilities a production metrics/lineage stream needs —
+the streaming twins of `events_tumbling_window` and the per-user
+analytics in the query registry.
+
+Scale notes: the windowed aggregate is a standard watermark-bounded
+shuffle-on-(window,key) plan — state store size is bounded by the
+watermark horizon, and `availableNow` drains a backlog with the same
+exactly-once file-source checkpointing the extraction stream uses
+(`stream.py`).  The stateful sessionizer keys state by user_id, so its
+shuffle co-locates each user's events; state is O(active users).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string")
+
+
+def stream_windowed_counts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """File-source event stream → watermarked tumbling-window counts.
+
+    Late rows beyond `watermark` are dropped from their window instead
+    of growing state forever — the state store holds only windows newer
+    than (max event time − watermark).
+    """
+    events = (spark.readStream.schema(EVENT_SCHEMA)
+              .format("parquet").load(input_dir))
+    agg = (events
+           .withWatermark("ts", watermark)
+           .groupBy(F.window("ts", window).alias("w"), "event_type")
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"))
+           .select(F.col("w.start").alias("window_start"),
+                   F.col("w.end").alias("window_end"),
+                   "event_type", "n_events", "sum_value"))
+    writer = (agg.writeStream
+              .format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def batch_windowed_counts(events: DataFrame, window: str = "1 hour"
+                          ) -> DataFrame:
+    """Batch twin of `stream_windowed_counts` for oracle comparison."""
+    return (events
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n_events", "sum_value"))
+
+
+SESSION_OUTPUT = ("user_id long, session_id int, n_events int, "
+                  "session_start timestamp, session_end timestamp")
+# session_start lives in state too — a session can span micro-batches;
+# timestamps are integer microseconds (float-seconds round-trips lose µs)
+SESSION_STATE = ("session_id int, session_start long, last_ts long, "
+                 "n_events int")
+
+
+def sessionize(events, gap_minutes: float = 30.0):
+    """Custom stateful operator: gap-based sessionization per user via
+    ``applyInPandasWithState`` — the engine's UD-stateful surface
+    (the Spark twin of a reference plugin, unfurl/src/index.ts:26).
+
+    Emits one row per *closed* session; state per user is
+    (open session id, last event time, count).  Works on a streaming
+    grouped DataFrame; the batch twin below replays the same kernel.
+    """
+    import pandas as pd  # noqa: F401 — worker-side dependency
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        user_id = key[0]
+        if state.exists:
+            session_id, sess_start, last_ts, n = state.get
+        else:
+            session_id, sess_start, last_ts, n = 0, None, None, 0
+        out = []
+        gap = int(gap_minutes * 60_000_000)   # µs
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts in pdf["ts"]:
+                t = ts.value // 1000           # ns → µs, exact
+                if last_ts is not None and t - last_ts > gap:
+                    out.append((user_id, session_id, n,
+                                sess_start, last_ts))
+                    session_id += 1
+                    n = 0
+                if n == 0:
+                    sess_start = t
+                n += 1
+                last_ts = t
+        state.update((session_id, sess_start, last_ts, n))
+        if not out:
+            return iter(())
+        df = pd.DataFrame(
+            out, columns=["user_id", "session_id", "n_events",
+                          "session_start", "session_end"])
+        df["session_start"] = pd.to_datetime(
+            df["session_start"], unit="us", utc=True)
+        df["session_end"] = pd.to_datetime(
+            df["session_end"], unit="us", utc=True)
+        return iter((df,))
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, SESSION_OUTPUT, SESSION_STATE, "append",
+        GroupStateTimeout.NoTimeout)
+
+
+def batch_sessionize(events: DataFrame, gap_minutes: float = 30.0
+                     ) -> DataFrame:
+    """Batch twin of `sessionize` (closed sessions only), as pure
+    window expressions — the DuckDB-oracle-checkable generic form
+    (gaps-and-islands)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = int(gap_minutes * 60_000_000)  # µs, matching the stream kernel
+    marked = (events
+              .withColumn("prev_ts", F.lag("ts").over(w))
+              .withColumn(
+                  "new_session",
+                  (F.col("prev_ts").isNull()
+                   | (F.unix_micros(F.col("ts").cast("timestamp"))
+                      - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+                      > gap_us)).cast("int")))
+    sess = marked.withColumn(
+        "session_id",
+        (F.sum("new_session").over(w) - 1).cast("int"))
+    agg = (sess.groupBy("user_id", "session_id")
+           .agg(F.count("*").cast("int").alias("n_events"),
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end")))
+    # closed sessions only: the stream keeps each user's last session open
+    last = (agg.groupBy("user_id")
+            .agg(F.max("session_id").alias("open_session")))
+    return (agg.join(last, "user_id")
+            .filter(F.col("session_id") < F.col("open_session"))
+            .drop("open_session"))
