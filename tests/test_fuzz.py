@@ -1,0 +1,89 @@
+"""Property-based robustness: at 10^12 documents every malformed input
+occurs; the kernels must never raise — errors surface per-doc through
+the `ok` lineage column, not as task failures.
+
+(The reference has no property tests, SURVEY §5 — this exceeds its
+test strategy on purpose: task-killing exceptions are the one failure
+mode a 1000-executor run cannot tolerate.)
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from unfurl_spark.functions.content import classify_blocks
+from unfurl_spark.functions.engine import flat_document_spans, scrape_document
+from unfurl_spark.functions.htmlmeta import parse_html_full
+from unfurl_spark.functions.media import (
+    exif_image,
+    exiftool_image,
+    exiftool_pdf,
+    parse_pdf_info,
+)
+
+# text with a bias toward markup-ish characters
+markupish = st.text(
+    alphabet=st.sampled_from(list("<>=&\"'/ abZ\t\né中\U0001f600"
+                                  "!-[]();:{}@#%0129.")),
+    max_size=400)
+
+
+@settings(max_examples=300, deadline=None)
+@given(markupish)
+def test_parse_html_full_never_raises(text):
+    metadata, blocks = parse_html_full(text, "http://fuzz.test/")
+    assert metadata is None or isinstance(metadata, dict)
+    assert isinstance(blocks, list)
+
+
+@settings(max_examples=200, deadline=None)
+@given(markupish, st.integers(min_value=100, max_value=599))
+def test_flat_document_spans_never_raises(text, status):
+    spans = flat_document_spans("http://fuzz.test/a", text, status, [])
+    assert isinstance(spans, list)
+    for i, s in enumerate(spans):
+        assert s["offset"] == i  # order invariant holds on garbage too
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=600))
+def test_media_readers_never_raise(data):
+    for fn in (exiftool_image, exiftool_pdf):
+        out = fn("http://fuzz.test/x", data)
+        assert isinstance(out, dict) and "type" in out
+    out = exif_image("http://fuzz.test/x", data, "image/jpeg")
+    assert isinstance(out, dict)
+    assert isinstance(parse_pdf_info(data), dict)
+
+
+# seed corrupted-but-plausible containers: real magic bytes, garbage tails
+@settings(max_examples=200, deadline=None)
+@given(st.sampled_from([b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff\xe1",
+                        b"RIFF\x00\x00\x00\x00WEBP", b"%PDF-1.4\n"]),
+       st.binary(max_size=300))
+def test_truncated_containers_never_raise(magic, tail):
+    data = magic + tail
+    assert isinstance(exiftool_image("http://f.test/x", data), dict)
+    assert isinstance(exif_image("http://f.test/x", data, "image/png"), dict)
+    assert isinstance(exiftool_pdf("http://f.test/x", data), dict)
+
+
+@settings(max_examples=100, deadline=None)
+@given(markupish,
+       st.dictionaries(st.sampled_from(["content-type", "Content-Type"]),
+                       st.sampled_from(["text/html", "image/png", "",
+                                        "application/pdf; x=y", "junk"]),
+                       max_size=1))
+def test_scrape_document_never_raises(text, headers):
+    out = scrape_document("http://fuzz.test/", 200, headers, text,
+                          body_bytes=text.encode("utf-8", "ignore"),
+                          plugins=("html", "exif", "exiftool"))
+    assert out.get("type") in {"website", "image", "document", "video",
+                               "audio", "link"}
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(markupish, st.integers(0, 500),
+                          st.booleans()), max_size=20))
+def test_classify_blocks_never_raises(blocks):
+    out = classify_blocks([(t, min(l, len(t)), b) for t, l, b in blocks])
+    assert isinstance(out, list)

@@ -62,6 +62,30 @@ CHECKS = {
     "events_tumbling_window": [
         ("pruned scan", lambda p: "props" not in p),
     ],
+    "tpch_q5_region_revenue": [
+        ("all dims broadcast", lambda p: p.count("BroadcastHashJoin") >= 3),
+        ("region filter pushed", lambda p: "r_name" in p.split(
+            "PushedFilters", 1)[-1] if "PushedFilters" in p else False),
+    ],
+    "tpch_q6_forecast": [
+        ("range filters pushed", lambda p: "PushedFilters: [" in p
+         and "l_shipdate" in p and "l_discount" in p),
+        ("no join, single scan", lambda p: "Join" not in p),
+    ],
+    "tpch_q10_returns": [
+        ("returnflag filter pushed", lambda p: "l_returnflag" in p.split(
+            "PushedFilters", 1)[-1] if "PushedFilters" in p else False),
+        ("top-k not full sort", lambda p: "TakeOrderedAndProject" in p),
+    ],
+    "sessionize_gaps_islands": [
+        ("single shuffle feeds both windows + agg",
+         lambda p: p.count("Exchange") <= 2),
+        ("window over user partition", lambda p: "Window" in p),
+    ],
+    "dedup_minhash_lsh_buckets": [
+        ("explode stays JVM-side", lambda p: "Generate" in p
+         and "BatchEvalPython" not in p),
+    ],
 }
 
 PIPELINE_CHECKS = [
