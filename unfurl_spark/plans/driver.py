@@ -15,10 +15,10 @@ idempotently:
   done-marker recorded; a restarted run anti-joins the done set and only
   processes the remainder.
 
-Iceberg is the intended production table format (`.writeTo(...).append()`);
-this sandbox has no Iceberg catalog jars, so the same idempotence is
-delivered with parquet dynamic-partition-overwrite — swap `_write_bucket`
-for an Iceberg `overwritePartitions()` on a real cluster.
+Table format goes through ``sources/tables.py``: Iceberg
+(`overwritePartitions` / `append`) when the catalog jars are present,
+parquet dynamic-partition-overwrite otherwise — the same idempotence
+contract either way.
 """
 
 from __future__ import annotations
@@ -49,16 +49,17 @@ def run_job(spark: SparkSession, input_path: str, output_dir: str,
     # absolute import: this file doubles as a spark-submit entry script
     # (no parent package when launched via --py-files + script path)
     from unfurl_spark.operators.pipeline import extract_spans
+    from unfurl_spark.sources.tables import (append_metrics, read_table,
+                                             write_bucketed)
 
     run_id = run_id or f"run-{int(time.time())}"
     out_data = os.path.join(output_dir, "spans")
     out_metrics = os.path.join(output_dir, "metrics")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    docs = spark.read.parquet(input_path).withColumn(
+    docs = read_table(spark, input_path).withColumn(
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
-    oembed_df = spark.read.parquet(oembed_path) if oembed_path else None
-    media_df = spark.read.parquet(media_path) if media_path else None
+    oembed_df = read_table(spark, oembed_path) if oembed_path else None
+    media_df = read_table(spark, media_path) if media_path else None
 
     done = _done_buckets(spark, out_metrics)
     todo = [b for b in range(n_buckets) if b not in done]
@@ -80,9 +81,9 @@ def run_job(spark: SparkSession, input_path: str, output_dir: str,
             "bucket",
             F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
 
-        # idempotent data commit: dynamic overwrite of exactly these buckets
-        result.write.mode("overwrite").partitionBy("bucket") \
-              .parquet(out_data)
+        # idempotent data commit: replace exactly these buckets
+        # (Iceberg overwritePartitions / parquet dynamic overwrite)
+        write_bucketed(result, out_data)
         wall = time.time() - t0
 
         # lineage metrics, one row per bucket (appended after data commit)
@@ -98,7 +99,7 @@ def run_job(spark: SparkSession, input_path: str, output_dir: str,
                  .withColumn("wall_sec", F.lit(round(wall, 3)))
                  .withColumn("docs_per_sec",
                              F.round(F.col("n_docs") / F.lit(wall), 1)))
-        stats.write.mode("append").parquet(out_metrics)
+        append_metrics(stats, out_metrics)
         agg = stats.agg(F.sum("n_docs"), F.sum("n_failures")).collect()[0]
         summary["processed_buckets"].extend(chunk)
         summary["n_docs"] += agg[0] or 0
