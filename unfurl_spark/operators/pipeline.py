@@ -63,6 +63,12 @@ def session(app: str = "unfurl_spark", master: str | None = None,
         # to node-local NVMe; on this box /tmp jitter (2× trial variance,
         # measured) would otherwise dominate the scaling signal
         b = b.config("spark.local.dir", "/dev/shm/spark-tmp")
+    if master and master.startswith("local"):
+        # shuffle blocks never cross a network in local mode and tmpfs
+        # bytes are free — lz4 is pure CPU overhead here (~5% measured);
+        # cluster deployments keep the compressed default
+        b = (b.config("spark.shuffle.compress", "false")
+             .config("spark.shuffle.spill.compress", "false"))
     return (
         # moderate heap: measured on this box, a 48g heap made G1 regions
         # huge and scan+shuffle stages 3-4× slower/noisier than 16g; 16g
