@@ -113,10 +113,21 @@ def flat_document_spans(url: str, html_text: str, status: int,
                         media_refs: list,
                         oembed_store: dict | None = None,
                         context_store: dict | None = None,
-                        media_store: dict | None = None) -> list[dict]:
+                        media_store: dict | None = None,
+                        oembed_payload: tuple | None = None,
+                        href_out: list | None = None) -> list[dict]:
     """Flat-column kernel: (url, reassembled html, status, media refs) →
     ordered output spans.  This is the shape the Spark stage feeds after
-    JVM-side span flattening (operators/pipeline.py)."""
+    JVM-side span flattening (operators/pipeline.py).
+
+    Oembed resolution has two scale regimes: ``oembed_store`` is the
+    broadcast-dictionary path (side table fits executors);
+    ``oembed_payload`` is the shuffle-join path — the caller joined the
+    oembed document to this row and passes its (status, ctype, body)
+    directly (extract_spans_twopass).  ``href_out``, when a list, has
+    the discovered oembed href appended — pass 1 of the two-pass plan
+    uses it to decide which docs join the oembed table.
+    """
     from .content import classify_blocks
     from .htmlmeta import parse_html_full
 
@@ -132,10 +143,17 @@ def flat_document_spans(url: str, html_text: str, status: int,
         jsonld_blocks: list[str] = []
         if metadata is not None:
             jsonld_blocks = metadata.get("jsonld_blocks", [])
-            if status == 200 and oembed_store is not None:
+            if status == 200 and (oembed_store is not None
+                                  or oembed_payload is not None
+                                  or href_out is not None):
                 href = find_oembed_href(metadata)
-                if href is not None and href in oembed_store:
-                    oembed = parse_oembed(*oembed_store[href])
+                if href is not None:
+                    if href_out is not None:
+                        href_out.append(href)
+                    if oembed_payload is not None:
+                        oembed = parse_oembed(*oembed_payload)
+                    elif oembed_store is not None and href in oembed_store:
+                        oembed = parse_oembed(*oembed_store[href])
             docs = (to_array(metadata.get("jsonld"))
                     + to_array(metadata.get("rdfa"))
                     + to_array(metadata.get("microdata")))

@@ -127,6 +127,51 @@ def broadcast_side_tables(spark: SparkSession,
                       sc.broadcast(context_store))
 
 
+def narrow_columns(df: DataFrame, assume_sorted: bool = False
+                   ) -> DataFrame:
+    """JVM-side flattening BEFORE the exchange: the nested spans column
+    never crosses into Python (nested array<struct> → Arrow → object
+    conversion is the dominant cost otherwise) and never crosses the
+    shuffle either — profiled on this box, shuffle-writing the raw
+    nested rows costs ~2× the whole flatten+scan, while flat strings
+    serialize at memcpy speed.  The flatten is cheap columnar work in
+    the scan stage (its parallelism is file splits — kept fine-grained
+    via spark.sql.files.maxPartitionBytes)."""
+    has_status = "status" in df.columns
+    pre = df.select(
+        "doc_id",
+        (F.col("status").cast("int") if has_status else F.lit(200))
+        .alias("status"),
+        "spans",
+    )
+    if assume_sorted:
+        # writers that guarantee offset order (our importer/generator/driver)
+        # skip the reshape+sort copy entirely
+        ordered = F.col("spans")
+    else:
+        # native sort_array over an offset-first struct reshape — no lambda
+        # comparator, whole-stage-friendly
+        ordered = F.sort_array(F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["offset"].alias("offset"), s["kind"].alias("kind"),
+                s["text"].alias("text"), s["media_ref"].alias("media_ref"),
+            )))
+    return pre.select(
+        "doc_id",
+        "status",
+        F.element_at(ordered, 1)["media_ref"].alias("url"),
+        F.array_join(
+            F.transform(
+                F.filter(ordered, lambda s: s["kind"] == F.lit("html")),
+                lambda s: F.coalesce(s["text"], F.lit(""))),
+            "").alias("html"),
+        F.transform(
+            F.filter(ordered, lambda s: s["kind"].isin("media", "pdf")),
+            lambda s: s["media_ref"]).alias("media_refs"),
+    )
+
+
 def extract_spans(
     df: DataFrame,
     oembed_df: DataFrame | None = None,
@@ -152,49 +197,7 @@ def extract_spans(
                                      context_store)
     b_oembed, b_media, b_ctx = side.oembed, side.media, side.contexts
 
-    has_status = "status" in df.columns
-
-    # JVM-side flattening BEFORE the exchange: the nested spans column
-    # never crosses into Python (nested array<struct> → Arrow → object
-    # conversion is the dominant cost otherwise) and never crosses the
-    # shuffle either — profiled on this box, shuffle-writing the raw
-    # nested rows costs ~2× the whole flatten+scan, while flat strings
-    # serialize at memcpy speed.  The flatten is cheap columnar work in
-    # the scan stage (its parallelism is file splits — kept fine-grained
-    # via spark.sql.files.maxPartitionBytes).
-    pre = df.select(
-        "doc_id",
-        (F.col("status").cast("int") if has_status else F.lit(200))
-        .alias("status"),
-        "spans",
-    )
-
-    if assume_sorted:
-        # writers that guarantee offset order (our importer/generator/driver)
-        # skip the reshape+sort copy entirely
-        ordered = F.col("spans")
-    else:
-        # native sort_array over an offset-first struct reshape — no lambda
-        # comparator, whole-stage-friendly
-        ordered = F.sort_array(F.transform(
-            "spans",
-            lambda s: F.struct(
-                s["offset"].alias("offset"), s["kind"].alias("kind"),
-                s["text"].alias("text"), s["media_ref"].alias("media_ref"),
-            )))
-    narrow = pre.select(
-        "doc_id",
-        "status",
-        F.element_at(ordered, 1)["media_ref"].alias("url"),
-        F.array_join(
-            F.transform(
-                F.filter(ordered, lambda s: s["kind"] == F.lit("html")),
-                lambda s: F.coalesce(s["text"], F.lit(""))),
-            "").alias("html"),
-        F.transform(
-            F.filter(ordered, lambda s: s["kind"].isin("media", "pdf")),
-            lambda s: s["media_ref"]).alias("media_refs"),
-    )
+    narrow = narrow_columns(df, assume_sorted=assume_sorted)
 
     if salt:
         # uniform redistribution by doc hash: a run of giant documents in
@@ -261,3 +264,169 @@ def extract_spans(
                 names=["doc_id", "spans", "n_input_bytes", "ok"])
 
     return narrow.mapInArrow(run, schema=EXTRACTED)
+
+
+# --------------------------------------------------------------------------
+# two-pass oembed resolution — the 10^12-doc regime
+
+EXTRACTED_HREF = ("doc_id string, spans array<struct<kind:string,"
+                  "text:string,media_ref:string,offset:int>>, "
+                  "n_input_bytes long, ok string, oembed_href string")
+
+
+def _span_batch(pa, span_t, doc_ids, spans_lists, n_bytes, oks,
+                extra_arrays=(), extra_names=()):
+    """Columnar output assembly shared by the extract runners."""
+    kinds: list = []
+    texts: list = []
+    refs: list = []
+    offs: list = []
+    list_offsets = [0]
+    for spans_out in spans_lists:
+        for s in spans_out:
+            kinds.append(s["kind"])
+            texts.append(s["text"])
+            refs.append(s["media_ref"])
+            offs.append(s["offset"])
+        list_offsets.append(len(kinds))
+    struct = pa.StructArray.from_arrays(
+        [pa.array(kinds, pa.string()), pa.array(texts, pa.string()),
+         pa.array(refs, pa.string()), pa.array(offs, pa.int32())],
+        fields=list(span_t))
+    spans_arr = pa.ListArray.from_arrays(
+        pa.array(list_offsets, pa.int32()), struct)
+    return pa.RecordBatch.from_arrays(
+        [pa.array(doc_ids, pa.string()), spans_arr,
+         pa.array(n_bytes, pa.int64()), pa.array(oks, pa.string()),
+         *extra_arrays],
+        names=["doc_id", "spans", "n_input_bytes", "ok", *extra_names])
+
+
+def extract_spans_twopass(
+    df: DataFrame,
+    oembed_df: DataFrame,
+    context_store: dict | None = None,
+    media_df: DataFrame | None = None,
+    num_partitions: int | None = None,
+    assume_sorted: bool = False,
+) -> DataFrame:
+    """``extract_spans`` for the regime where the oembed corpus is too
+    large to broadcast (at 10^12 documents the sub-request table is
+    billions of rows).
+
+    Plan: pass 1 runs the fused kernel with NO oembed store and emits
+    the discovered oembed href per doc.  The small fraction of docs
+    that reference an oembed document (~few %) shuffle-join the oembed
+    table on href — a plain distributed equi-join, no driver-side
+    collect, no broadcast — and re-run the kernel with the joined
+    payload passed per-row.  Everything else ships straight through.
+    Output is bit-identical to the broadcast path
+    (tests/test_twopass_oembed.py).
+    """
+    import pyarrow as pa  # noqa: F401 — ensure importable at plan time
+
+    spark = df.sparkSession
+    side = broadcast_side_tables(spark, None, media_df, context_store)
+    b_media, b_ctx = side.media, side.contexts
+
+    narrow = narrow_columns(df, assume_sorted=assume_sorted)
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    salted = narrow.repartition(n, F.xxhash64("doc_id"))
+
+    span_t_def = [("kind", "string"), ("text", "string"),
+                  ("media_ref", "string"), ("offset", "int32")]
+
+    def run_pass1(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        from ..functions.engine import flat_document_spans
+
+        med = _bvalue(b_media)
+        ctx = _bvalue(b_ctx)
+        span_t = pa.struct([(k, getattr(pa, t)()) for k, t in span_t_def])
+        for batch in batches:
+            doc_ids = batch.column(0).to_pylist()
+            statuses = batch.column(1).to_pylist()
+            urls = batch.column(2).to_pylist()
+            htmls = batch.column(3).to_pylist()
+            media_refs = batch.column(4).to_pylist()
+            spans_lists, n_bytes, oks, hrefs = [], [], [], []
+            for i in range(len(doc_ids)):
+                html = htmls[i] or ""
+                n_bytes.append(len(html))
+                href_out: list = []
+                try:
+                    spans_out = flat_document_spans(
+                        urls[i] or str(doc_ids[i]), html,
+                        int(statuses[i]), list(media_refs[i] or ()),
+                        context_store=ctx, media_store=med,
+                        href_out=href_out)
+                    oks.append("ok")
+                except Exception as e:  # noqa: BLE001 — per-doc isolation
+                    spans_out = []
+                    oks.append(type(e).__name__)
+                spans_lists.append(spans_out)
+                hrefs.append(href_out[0] if href_out else None)
+            yield _span_batch(pa, span_t, doc_ids, spans_lists, n_bytes,
+                              oks, (pa.array(hrefs, pa.string()),),
+                              ("oembed_href",))
+
+    pass1 = salted.mapInArrow(run_pass1, schema=EXTRACTED_HREF)
+
+    plain = (pass1.filter(F.col("oembed_href").isNull())
+             .drop("oembed_href"))
+
+    # docs that DID discover an oembed link: re-derive their flat inputs
+    # and equi-join the oembed corpus on href — both sides shuffle on the
+    # join key; at scale this is the standard sort-merge/AQE path and the
+    # oembed table never touches the driver
+    need = pass1.filter(F.col("oembed_href").isNotNull()) \
+                .select("doc_id", "oembed_href")
+    rejoin = (narrow.join(need, "doc_id")
+              .join(oembed_df.withColumnRenamed("ref", "oembed_href")
+                             .withColumnRenamed("status", "o_status")
+                    .select("oembed_href", "o_status", "ctype", "body"),
+                    "oembed_href", "left")
+              .select("doc_id", "status", "url", "html", "media_refs",
+                      "o_status", "ctype", "body"))
+
+    def run_pass2(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        from ..functions.engine import flat_document_spans
+
+        med = _bvalue(b_media)
+        ctx = _bvalue(b_ctx)
+        span_t = pa.struct([(k, getattr(pa, t)()) for k, t in span_t_def])
+        for batch in batches:
+            doc_ids = batch.column(0).to_pylist()
+            statuses = batch.column(1).to_pylist()
+            urls = batch.column(2).to_pylist()
+            htmls = batch.column(3).to_pylist()
+            media_refs = batch.column(4).to_pylist()
+            o_status = batch.column(5).to_pylist()
+            o_ctype = batch.column(6).to_pylist()
+            o_body = batch.column(7).to_pylist()
+            spans_lists, n_bytes, oks = [], [], []
+            for i in range(len(doc_ids)):
+                html = htmls[i] or ""
+                n_bytes.append(len(html))
+                payload = None
+                if o_body[i] is not None:
+                    payload = (o_status[i], o_ctype[i], o_body[i])
+                try:
+                    spans_out = flat_document_spans(
+                        urls[i] or str(doc_ids[i]), html,
+                        int(statuses[i]), list(media_refs[i] or ()),
+                        context_store=ctx, media_store=med,
+                        oembed_payload=payload)
+                    oks.append("ok")
+                except Exception as e:  # noqa: BLE001 — per-doc isolation
+                    spans_out = []
+                    oks.append(type(e).__name__)
+                spans_lists.append(spans_out)
+            yield _span_batch(pa, span_t, doc_ids, spans_lists, n_bytes,
+                              oks)
+
+    second = rejoin.mapInArrow(run_pass2, schema=EXTRACTED)
+    return plain.unionByName(second)
