@@ -62,3 +62,23 @@ def test_twopass_plan_no_broadcast_of_oembed(spark, corpus):
     assert plan.count("MapInArrow") == 3  # pass1 feeds both branches
     assert "BatchEvalPython" not in plan
     assert "oembed_href" in plan
+
+
+def test_media_join_equals_broadcast(spark, corpus):
+    from unfurl_spark.operators.pipeline import extract_spans_media_join
+
+    docs = spark.read.parquet(corpus["documents_raw"])
+    oem = spark.read.parquet(corpus["oembed_docs"])
+    med = spark.read.parquet(corpus["media_payloads"])
+
+    a = extract_spans(docs, oembed_df=oem, media_df=med,
+                      num_partitions=8)
+    b = extract_spans_media_join(docs, med, oembed_df=oem,
+                                 num_partitions=8)
+    j = a.alias("a").join(b.alias("b"), "doc_id", "full_outer")
+    assert j.count() == 400
+    mism = j.filter(
+        (F.col("a.spans") != F.col("b.spans"))
+        | F.col("a.spans").isNull() | F.col("b.spans").isNull()
+        | (F.col("a.ok") != F.col("b.ok"))).count()
+    assert mism == 0

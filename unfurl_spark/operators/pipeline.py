@@ -430,3 +430,116 @@ def extract_spans_twopass(
 
     second = rejoin.mapInArrow(run_pass2, schema=EXTRACTED)
     return plain.unionByName(second)
+
+
+def extract_spans_media_join(
+    df: DataFrame,
+    media_df: DataFrame,
+    oembed_df: DataFrame | None = None,
+    context_store: dict | None = None,
+    num_partitions: int | None = None,
+    assume_sorted: bool = False,
+) -> DataFrame:
+    """``extract_spans`` for the regime where the media-payload corpus
+    is too large to broadcast (binary image/pdf payloads at 10^12 docs).
+
+    Plan: the fused kernel runs with NO media store, emitting media
+    spans as empty-text placeholders in their correct positions.  The
+    (doc_id, media_ref) pairs explode out, equi-join the media table on
+    media_ref (both sides shuffle on the key — payload bytes never touch
+    the driver), a second Arrow stage runs the header readers per
+    payload, and the extracted JSON re-aggregates into the placeholder
+    spans by (doc_id, media_ref) — the zip/explode/group/ordered-reagg
+    generic form (SURVEY §2.3).  Output is bit-identical to the
+    broadcast path (tests/test_twopass_oembed.py).
+    """
+    spark = df.sparkSession
+    base = extract_spans(df, oembed_df=oembed_df,
+                         context_store=context_store,
+                         num_partitions=num_partitions,
+                         assume_sorted=assume_sorted)
+
+    narrow = narrow_columns(df, assume_sorted=assume_sorted)
+    pairs = (narrow
+             .select("doc_id", F.explode("media_refs").alias("media_ref"))
+             .join(media_df.select("media_ref", "ctype", "payload"),
+                   "media_ref", "left"))
+
+    def run_media(batches: Iterator) -> Iterator:
+        import json as _json
+
+        import pyarrow as pa
+
+        from ..functions.engine import scrape_document
+
+        for batch in batches:
+            refs = batch.column(0).to_pylist()
+            doc_ids = batch.column(1).to_pylist()
+            ctypes = batch.column(2).to_pylist()
+            payloads = batch.column(3).to_pylist()
+            texts = []
+            for ref, ctype, payload in zip(refs, ctypes, payloads):
+                extracted = ""
+                if payload is not None:
+                    try:
+                        snippet = scrape_document(
+                            ref, 200, {"content-type": ctype}, None,
+                            body_bytes=payload,
+                            plugins=("exif", "exiftool"))
+                        extracted = _json.dumps(
+                            snippet, default=str, sort_keys=True,
+                            ensure_ascii=False)
+                    except Exception:  # noqa: BLE001 — per-ref isolation
+                        extracted = ""
+                texts.append(extracted)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(doc_ids, pa.string()),
+                 pa.array(refs, pa.string()),
+                 pa.array(texts, pa.string())],
+                names=["doc_id", "media_ref", "media_text"])
+
+    media_text = pairs.mapInArrow(
+        run_media, schema="doc_id string, media_ref string, "
+                          "media_text string")
+
+    # ordered re-aggregation: explode the placeholder spans, overlay the
+    # joined media text onto kind='media' rows, rebuild the array sorted
+    # by the original offset (the generic zip/explode/group form)
+    exploded = base.select(
+        "doc_id", "n_input_bytes", "ok",
+        F.posexplode_outer("spans").alias("pos", "s"))
+    merged = (exploded
+              .join(media_text,
+                    (exploded["doc_id"] == media_text["doc_id"])
+                    & (exploded["s"]["media_ref"]
+                       == media_text["media_ref"])
+                    & (exploded["s"]["kind"] == F.lit("media")),
+                    "left")
+              .select(
+                  exploded["doc_id"],
+                  "n_input_bytes", "ok", "pos",
+                  F.struct(
+                      exploded["s"]["kind"].alias("kind"),
+                      F.when(exploded["s"]["kind"] == "media",
+                             F.coalesce(media_text["media_text"],
+                                        exploded["s"]["text"]))
+                      .otherwise(exploded["s"]["text"]).alias("text"),
+                      exploded["s"]["media_ref"].alias("media_ref"),
+                      exploded["s"]["offset"].alias("offset"),
+                  ).alias("s")))
+    rebuilt = (merged
+               .filter(F.col("pos").isNotNull())
+               .groupBy("doc_id")
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                   lambda x: x["s"]).alias("spans")))
+    # docs whose span array was empty never explode — restore them with
+    # an empty array via a left join on the pass-1 doc list
+    empty = F.array().cast(
+        "array<struct<kind:string,text:string,media_ref:string,"
+        "offset:int>>")
+    return (base.select("doc_id", "n_input_bytes", "ok")
+            .join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("spans"), empty).alias("spans"),
+                    "n_input_bytes", "ok"))
