@@ -82,3 +82,45 @@ def test_media_join_equals_broadcast(spark, corpus):
         | F.col("a.spans").isNull() | F.col("b.spans").isNull()
         | (F.col("a.ok") != F.col("b.ok"))).count()
     assert mism == 0
+
+
+def test_fully_joined_equals_broadcast(spark, corpus):
+    """join_oembed + media join: zero broadcast side tables, same output."""
+    from unfurl_spark.operators.pipeline import extract_spans_media_join
+
+    docs = spark.read.parquet(corpus["documents_raw"])
+    oem = spark.read.parquet(corpus["oembed_docs"])
+    med = spark.read.parquet(corpus["media_payloads"])
+
+    a = extract_spans(docs, oembed_df=oem, media_df=med,
+                      num_partitions=8)
+    b = extract_spans_media_join(docs, med, oembed_df=oem,
+                                 join_oembed=True, num_partitions=8)
+    j = a.alias("a").join(b.alias("b"), "doc_id", "full_outer")
+    assert j.count() == 400
+    assert j.filter(
+        (F.col("a.spans") != F.col("b.spans"))
+        | F.col("a.spans").isNull() | F.col("b.spans").isNull()).count() == 0
+
+
+def test_driver_join_side_mode(spark, corpus, tmp_path):
+    from unfurl_spark.plans.driver import run_job
+
+    out = str(tmp_path / "out")
+    summary = run_job(spark, corpus["documents_raw"], out,
+                      oembed_path=corpus["oembed_docs"],
+                      media_path=corpus["media_payloads"],
+                      n_buckets=4, buckets_per_job=4,
+                      side_mode="join")
+    assert summary["n_docs"] == 400
+    assert summary["n_failures"] == 0
+    # output equals the broadcast-mode pipeline
+    got = spark.read.parquet(out + "/spans").select("doc_id", "spans")
+    oem = spark.read.parquet(corpus["oembed_docs"])
+    med = spark.read.parquet(corpus["media_payloads"])
+    docs = spark.read.parquet(corpus["documents_raw"])
+    exp = extract_spans(docs, oembed_df=oem, media_df=med,
+                        num_partitions=8).select("doc_id", "spans")
+    j = got.alias("g").join(exp.alias("e"), "doc_id", "full_outer")
+    assert j.count() == 400
+    assert j.filter(F.col("g.spans") != F.col("e.spans")).count() == 0

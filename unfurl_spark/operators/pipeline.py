@@ -439,9 +439,12 @@ def extract_spans_media_join(
     context_store: dict | None = None,
     num_partitions: int | None = None,
     assume_sorted: bool = False,
+    join_oembed: bool = False,
 ) -> DataFrame:
     """``extract_spans`` for the regime where the media-payload corpus
     is too large to broadcast (binary image/pdf payloads at 10^12 docs).
+    With ``join_oembed=True`` the oembed side goes through the two-pass
+    shuffle join as well — zero broadcast side tables anywhere.
 
     Plan: the fused kernel runs with NO media store, emitting media
     spans as empty-text placeholders in their correct positions.  The
@@ -454,10 +457,16 @@ def extract_spans_media_join(
     broadcast path (tests/test_twopass_oembed.py).
     """
     spark = df.sparkSession
-    base = extract_spans(df, oembed_df=oembed_df,
-                         context_store=context_store,
-                         num_partitions=num_partitions,
-                         assume_sorted=assume_sorted)
+    if join_oembed and oembed_df is not None:
+        base = extract_spans_twopass(df, oembed_df,
+                                     context_store=context_store,
+                                     num_partitions=num_partitions,
+                                     assume_sorted=assume_sorted)
+    else:
+        base = extract_spans(df, oembed_df=oembed_df,
+                             context_store=context_store,
+                             num_partitions=num_partitions,
+                             assume_sorted=assume_sorted)
 
     narrow = narrow_columns(df, assume_sorted=assume_sorted)
     pairs = (narrow

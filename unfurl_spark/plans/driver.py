@@ -45,10 +45,13 @@ def _done_buckets(spark: SparkSession, metrics_dir: str) -> set[int]:
 def run_job(spark: SparkSession, input_path: str, output_dir: str,
             oembed_path: str | None = None, media_path: str | None = None,
             n_buckets: int = 16, buckets_per_job: int = 4,
-            run_id: str | None = None) -> dict:
+            run_id: str | None = None,
+            side_mode: str = "broadcast") -> dict:
     # absolute import: this file doubles as a spark-submit entry script
     # (no parent package when launched via --py-files + script path)
-    from unfurl_spark.operators.pipeline import extract_spans
+    from unfurl_spark.operators.pipeline import (extract_spans,
+                                                 extract_spans_media_join,
+                                                 extract_spans_twopass)
     from unfurl_spark.sources.tables import (append_metrics, read_table,
                                              write_bucketed)
 
@@ -70,10 +73,22 @@ def run_job(spark: SparkSession, input_path: str, output_dir: str,
         chunk = todo[i:i + buckets_per_job]
         t0 = time.time()
         part = docs.filter(F.col("bucket").isin(chunk))
-        extracted = extract_spans(
-            part.select("doc_id", "spans",
-                        *(["status"] if "status" in docs.columns else [])),
-            oembed_df=oembed_df, media_df=media_df)
+        sel = part.select("doc_id", "spans",
+                          *(["status"] if "status" in docs.columns else []))
+        if side_mode == "join":
+            # 10^12-doc regime: side tables too large to broadcast —
+            # oembed via two-pass href join, media payloads via
+            # explode + equi-join (pipeline.py)
+            if media_df is not None:
+                extracted = extract_spans_media_join(
+                    sel, media_df, oembed_df=oembed_df, join_oembed=True)
+            elif oembed_df is not None:
+                extracted = extract_spans_twopass(sel, oembed_df)
+            else:
+                extracted = extract_spans(sel)
+        else:
+            extracted = extract_spans(
+                sel, oembed_df=oembed_df, media_df=media_df)
         # bucket is a pure function of doc_id — recompute instead of
         # joining back against the input table (that join is a full extra
         # shuffle of the span payload at scale)
@@ -117,6 +132,10 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--buckets-per-job", type=int, default=4)
     ap.add_argument("--run-id")
+    ap.add_argument("--side-mode", choices=("broadcast", "join"),
+                    default="broadcast",
+                    help="side-table strategy: broadcast (fits executors) "
+                         "or join (10^12-doc regime, no broadcast)")
     ap.add_argument("--master")
     args = ap.parse_args()
 
@@ -127,7 +146,7 @@ def main() -> None:
                       oembed_path=args.oembed, media_path=args.media,
                       n_buckets=args.buckets,
                       buckets_per_job=args.buckets_per_job,
-                      run_id=args.run_id)
+                      run_id=args.run_id, side_mode=args.side_mode)
     print(json.dumps(summary))
     spark.stop()
 
