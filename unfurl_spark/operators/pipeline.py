@@ -4,15 +4,19 @@ Replaces the reference's per-page async middleware chain
 (unfurl/src/index.ts:171-188) with the idiomatic Spark plan (SURVEY.md §3):
 
     read (doc_id, spans)
+      → JVM flatten (nested spans never cross into Python or the shuffle)
       → salted repartition by xxhash64(doc_id)        # giant-doc skew defusal
-      → mapInPandas(fused tokenize+normalize+extract)  # Arrow-batched, no
-                                                       # per-row Python UDFs
+      → mapInArrow(fused tokenize+normalize+extract)   # columnar both ways,
+                                                       # no per-row Python
       → spans + per-doc lineage columns
 
 Sub-request documents (oembed payloads, JSON-LD remote contexts, media
-payloads) are *broadcast side tables* — executors never touch the network
-(the reference's two HTTP crossings, unfurl-html/src/index.ts:92-122 and
-:146-172, become dictionary lookups).
+payloads) are side tables — executors never touch the network (the
+reference's two HTTP crossings, unfurl-html/src/index.ts:92-122 and
+:146-172, become table lookups).  Two scale regimes: broadcast stores
+(`extract_spans`) when the tables fit executors, distributed shuffle
+joins (`extract_spans_twopass`, `extract_spans_media_join`) when at
+10^12 documents they cannot — outputs bit-identical either way.
 """
 
 from __future__ import annotations
