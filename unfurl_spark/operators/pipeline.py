@@ -62,12 +62,13 @@ def session(app: str = "unfurl_spark", master: str | None = None,
     b = SparkSession.builder.appName(app)
     if master:
         b = b.master(master)
-    if os.path.isdir("/dev/shm"):
-        # local-mode shuffle files on tmpfs: a real cluster writes shuffle
-        # to node-local NVMe; on this box /tmp jitter (2× trial variance,
-        # measured) would otherwise dominate the scaling signal
-        b = b.config("spark.local.dir", "/dev/shm/spark-tmp")
     if master and master.startswith("local"):
+        if os.path.isdir("/dev/shm"):
+            # local-mode-ONLY shuffle files on tmpfs: a real cluster writes
+            # shuffle to node-local NVMe (RAM-backed tmpfs would blow up at
+            # scale); on this box /tmp jitter (2× trial variance, measured)
+            # would otherwise dominate the scaling signal
+            b = b.config("spark.local.dir", "/dev/shm/spark-tmp")
         # shuffle blocks never cross a network in local mode and tmpfs
         # bytes are free — lz4 is pure CPU overhead here (~5% measured);
         # cluster deployments keep the compressed default
@@ -93,6 +94,19 @@ def session(app: str = "unfurl_spark", master: str | None = None,
     )
 
 
+def dedup_on_key(df: DataFrame, key: str) -> DataFrame:
+    """Deterministic one-row-per-key dedup for side tables: keep the
+    lexicographically greatest struct of the remaining columns.  Unlike
+    ``dropDuplicates`` (arbitrary row) or the old collect-order dict build
+    (last row wins in a nondeterministic order), this picks the SAME row in
+    the broadcast and shuffle-join regimes, preserving the bit-identical
+    contract even when a side table carries duplicate keys."""
+    cols = [c for c in df.columns if c != key]
+    return (df.groupBy(key)
+              .agg(F.max(F.struct(*cols)).alias("_s"))
+              .select(key, *[F.col(f"_s.{c}").alias(c) for c in cols]))
+
+
 class SideTables:
     """Broadcast handles for the record-scoped lookup tables.  Build ONCE
     per job and pass to every ``extract_spans`` call — the driver-side
@@ -113,6 +127,8 @@ def broadcast_side_tables(spark: SparkSession,
     sc = spark.sparkContext
     oembed_store = None
     if oembed_df is not None:
+        oembed_df = dedup_on_key(
+            oembed_df.select("ref", "status", "ctype", "body"), "ref")
         t = oembed_df.select("ref", "status", "ctype", "body").toArrow()
         oembed_store = dict(zip(
             t.column("ref").to_pylist(),
@@ -121,6 +137,8 @@ def broadcast_side_tables(spark: SparkSession,
         ))
     media_store = None
     if media_df is not None:
+        media_df = dedup_on_key(
+            media_df.select("media_ref", "ctype", "payload"), "media_ref")
         t = media_df.select("media_ref", "ctype", "payload").toArrow()
         media_store = dict(zip(
             t.column("media_ref").to_pylist(),
@@ -386,11 +404,13 @@ def extract_spans_twopass(
     # oembed table never touches the driver
     need = pass1.filter(F.col("oembed_href").isNotNull()) \
                 .select("doc_id", "oembed_href")
+    oembed_side = dedup_on_key(
+        oembed_df.withColumnRenamed("ref", "oembed_href")
+                 .withColumnRenamed("status", "o_status")
+                 .select("oembed_href", "o_status", "ctype", "body"),
+        "oembed_href")
     rejoin = (narrow.join(need, "doc_id")
-              .join(oembed_df.withColumnRenamed("ref", "oembed_href")
-                             .withColumnRenamed("status", "o_status")
-                    .select("oembed_href", "o_status", "ctype", "body"),
-                    "oembed_href", "left")
+              .join(oembed_side, "oembed_href", "left")
               .select("doc_id", "status", "url", "html", "media_refs",
                       "o_status", "ctype", "body"))
 
@@ -473,9 +493,16 @@ def extract_spans_media_join(
                              assume_sorted=assume_sorted)
 
     narrow = narrow_columns(df, assume_sorted=assume_sorted)
+    # distinct BEFORE the join: a doc repeating a media_ref must not fan the
+    # payload join out into a cross product (the broadcast dict naturally
+    # dedupes); the media side gets the same deterministic one-row-per-ref
+    # rule the broadcast store uses
     pairs = (narrow
              .select("doc_id", F.explode("media_refs").alias("media_ref"))
-             .join(media_df.select("media_ref", "ctype", "payload"),
+             .distinct()
+             .join(dedup_on_key(
+                       media_df.select("media_ref", "ctype", "payload"),
+                       "media_ref"),
                    "media_ref", "left"))
 
     def run_media(batches: Iterator) -> Iterator:
@@ -491,8 +518,10 @@ def extract_spans_media_join(
             ctypes = batch.column(2).to_pylist()
             payloads = batch.column(3).to_pylist()
             texts = []
+            errs = []
             for ref, ctype, payload in zip(refs, ctypes, payloads):
                 extracted = ""
+                err = None
                 if payload is not None:
                     try:
                         snippet = scrape_document(
@@ -502,18 +531,25 @@ def extract_spans_media_join(
                         extracted = _json.dumps(
                             snippet, default=str, sort_keys=True,
                             ensure_ascii=False)
-                    except Exception:  # noqa: BLE001 — per-ref isolation
+                    except Exception as e:  # noqa: BLE001 — per-ref record
+                        # the broadcast path runs this scrape inside the
+                        # per-doc try, so a throwing payload fails the whole
+                        # doc — record the error so re-aggregation can
+                        # reproduce that (ok=<ExcName>, spans=[])
                         extracted = ""
+                        err = type(e).__name__
                 texts.append(extracted)
+                errs.append(err)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(doc_ids, pa.string()),
                  pa.array(refs, pa.string()),
-                 pa.array(texts, pa.string())],
-                names=["doc_id", "media_ref", "media_text"])
+                 pa.array(texts, pa.string()),
+                 pa.array(errs, pa.string())],
+                names=["doc_id", "media_ref", "media_text", "media_err"])
 
     media_text = pairs.mapInArrow(
         run_media, schema="doc_id string, media_ref string, "
-                          "media_text string")
+                          "media_text string, media_err string")
 
     # ordered re-aggregation: explode the placeholder spans, overlay the
     # joined media text onto kind='media' rows, rebuild the array sorted
@@ -531,6 +567,7 @@ def extract_spans_media_join(
               .select(
                   exploded["doc_id"],
                   "n_input_bytes", "ok", "pos",
+                  media_text["media_err"].alias("media_err"),
                   F.struct(
                       exploded["s"]["kind"].alias("kind"),
                       F.when(exploded["s"]["kind"] == "media",
@@ -540,12 +577,18 @@ def extract_spans_media_join(
                       exploded["s"]["media_ref"].alias("media_ref"),
                       exploded["s"]["offset"].alias("offset"),
                   ).alias("s")))
+    # first_err: the error of the EARLIEST failing media span — the
+    # broadcast path processes refs in span order inside the per-doc try,
+    # so the first throwing ref is the doc's recorded failure
     rebuilt = (merged
                .filter(F.col("pos").isNotNull())
                .groupBy("doc_id")
                .agg(F.transform(
-                   F.array_sort(F.collect_list(F.struct("pos", "s"))),
-                   lambda x: x["s"]).alias("spans")))
+                        F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                        lambda x: x["s"]).alias("spans"),
+                    F.min(F.when(F.col("media_err").isNotNull(),
+                                 F.struct("pos", "media_err")))
+                    .alias("_err")))
     # docs whose span array was empty never explode — restore them with
     # an empty array via a left join on the pass-1 doc list
     empty = F.array().cast(
@@ -554,5 +597,9 @@ def extract_spans_media_join(
     return (base.select("doc_id", "n_input_bytes", "ok")
             .join(rebuilt, "doc_id", "left")
             .select("doc_id",
-                    F.coalesce(F.col("spans"), empty).alias("spans"),
-                    "n_input_bytes", "ok"))
+                    F.when(F.col("_err").isNotNull(), empty)
+                    .otherwise(F.coalesce(F.col("spans"), empty))
+                    .alias("spans"),
+                    "n_input_bytes",
+                    F.coalesce(F.col("_err")["media_err"], F.col("ok"))
+                    .alias("ok")))

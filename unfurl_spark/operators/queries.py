@@ -289,30 +289,33 @@ FROM documents
 GROUP BY md5(text)
 """)
 
-# minhash signatures over relational word-3-gram shingles
+# minhash signatures over word-3-gram shingles — built join-free with a
+# native array expression (transform over sequence) so the shingle stage is
+# scan→project only: at 10^12 docs the old 3-way self-join of the exploded
+# token table was three full shuffles; this is zero.
 _MINHASH_CTE = """
-WITH words AS (
-  SELECT doc_id, CAST(t.pos AS BIGINT) AS pos, t.word
-  FROM documents LATERAL VIEW posexplode(split(text, ' ')) t AS pos, word
+WITH docs AS (
+  SELECT doc_id, split(text, ' ') AS w FROM documents
 ), shingles AS (
-  SELECT w1.doc_id,
-         concat(w1.word, ' ', w2.word, ' ', w3.word) AS g
-  FROM words w1
-  JOIN words w2 ON w2.doc_id = w1.doc_id AND w2.pos = w1.pos + 1
-  JOIN words w3 ON w3.doc_id = w1.doc_id AND w3.pos = w1.pos + 2
+  SELECT doc_id, t.g
+  FROM docs
+  LATERAL VIEW explode(
+    CASE WHEN size(w) >= 3
+         THEN transform(sequence(0, size(w) - 3),
+                        i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))
+         ELSE array() END) t AS g
 )
 """
 _MINHASH_CTE_DUCK = """
-WITH words AS (
-  SELECT d.doc_id, CAST(t.i - 1 AS BIGINT) AS pos, d.words[t.i] AS word
-  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) d,
-       UNNEST(generate_series(1, len(d.words))) AS t(i)
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ), shingles AS (
-  SELECT w1.doc_id,
-         concat(w1.word, ' ', w2.word, ' ', w3.word) AS g
-  FROM words w1
-  JOIN words w2 ON w2.doc_id = w1.doc_id AND w2.pos = w1.pos + 1
-  JOIN words w3 ON w3.doc_id = w1.doc_id AND w3.pos = w1.pos + 2
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 3
+                     THEN list_transform(generate_series(1, len(w) - 2),
+                          i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))
+                     ELSE CAST([] AS VARCHAR[]) END) AS g
+  FROM docs
 )
 """
 _MINHASH_BODY = """
@@ -364,7 +367,11 @@ FROM (
 GROUP BY doc_id
 """ % _SIMHASH_BITS)
 
-# n-gram Jaccard between LSH-candidate pairs
+# n-gram Jaccard between LSH-candidate pairs.  The candidate pairs explode
+# into (doc_a, doc_b, doc_id) rows — one per side — and EQUI-join the
+# distinct shingle table on doc_id, so the verify stage shuffles on doc_id
+# like any other join (the r1 version's `doc_id IN (doc_a, doc_b)` predicate
+# forced a CartesianProduct of pairs × all shingles — confirmed scale-killer).
 _JACCARD_BODY = """
 , sig AS (
 %s
@@ -372,20 +379,50 @@ _JACCARD_BODY = """
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sig a JOIN sig b
     ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
+), pair_sides AS (
+  SELECT doc_a, doc_b, doc_a AS doc_id FROM pairs
+  UNION ALL
+  SELECT doc_a, doc_b, doc_b AS doc_id FROM pairs
 ), ga AS (SELECT DISTINCT doc_id, g FROM shingles)
 SELECT doc_a, doc_b,
        round(CAST(sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*), 4) AS jaccard
 FROM (
   SELECT p.doc_a AS doc_a, p.doc_b AS doc_b, ga.g AS g,
-         count(DISTINCT ga.doc_id) AS n_sides
-  FROM pairs p JOIN ga ON ga.doc_id IN (p.doc_a, p.doc_b)
+         count(*) AS n_sides
+  FROM pair_sides p JOIN ga ON ga.doc_id = p.doc_id
   GROUP BY p.doc_a, p.doc_b, ga.g
 )
 GROUP BY doc_a, doc_b
 """ % _MINHASH_BODY
 _q("dedup_ngram_jaccard", _MINHASH_CTE + _JACCARD_BODY,
    _MINHASH_CTE_DUCK + _JACCARD_BODY)
+
+# keeper application — the step a pipeline user actually runs after LSH:
+# drop every non-keeper duplicate via an anti-join (NOT EXISTS plans as
+# LeftAnti in Spark).  Shuffles on doc_id only; the dupe set is tiny
+# relative to the corpus, so AQE broadcasts it at scale.
+_KEEP_BODY = """
+, bands AS (
+  SELECT doc_id, md5(concat(h0, h1, h2, h3)) AS band_key
+  FROM (%s) sig
+  UNION ALL
+  SELECT doc_id, md5(concat(h4, h5, h6, h7)) AS band_key
+  FROM (%s) sig
+), dupes AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY band_key) AS keeper,
+           count(*) OVER (PARTITION BY band_key) AS n
+    FROM bands
+  ) WHERE n > 1 AND doc_id <> keeper
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM dupes x WHERE x.doc_id = d.doc_id)
+""" % (_MINHASH_BODY, _MINHASH_BODY)
+_q("dedup_apply_keep", _MINHASH_CTE + _KEEP_BODY,
+   _MINHASH_CTE_DUCK + _KEEP_BODY)
 
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
@@ -424,17 +461,48 @@ ORDER BY cosine DESC, vec_id
 LIMIT 20
 """)
 
-# LSH-bucketed ANN: bucket by sign pattern of 8 deterministic pseudo-planes
+# LSH-bucketed ANN: bucket by the sign pattern of 8 REAL random hyperplanes
+# (seeded Gaussian, generated once here and inlined as identical literals in
+# both dialects — recall vs the brute-force twin is asserted in
+# tests/test_ann_recall.py).  Embedding dim is 64 (TESTDATA.md).
+import random as _random
+
+_EMB_DIM = 64
+_rng = _random.Random(20260817)
+_PLANES = [[round(_rng.gauss(0.0, 1.0), 4) for _ in range(_EMB_DIM)]
+           for _ in range(8)]
+
+
+def _dot_plane_spark(plane: list) -> str:
+    lit = "array(" + ", ".join(f"{v}D" for v in plane) + ")"
+    return ("aggregate(zip_with(embedding, " + lit +
+            ", (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), "
+            "(a, v) -> a + v)")
+
+
+def _dot_plane_duck(plane: list) -> str:
+    lit = "[" + ", ".join(str(v) for v in plane) + "]::DOUBLE[]"
+    return ("list_dot_product(list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE)), " + lit + ")")
+
+
+def _sdot(a, b):
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+
+
+def _ddot(a, b):
+    return f"list_dot_product({a}, {b})"
+
+
 _ANN_BUCKET_EXPR = " + ".join(
-    "(CASE WHEN CAST(element_at(embedding, %d) AS DOUBLE) "
-    "- CAST(element_at(embedding, %d) AS DOUBLE) > 0 THEN %d ELSE 0 END)"
-    % (2 * b + 1, 2 * b + 2, 1 << b)
+    "(CASE WHEN %s > 0 THEN %d ELSE 0 END)"
+    % (_dot_plane_spark(_PLANES[b]), 1 << b)
     for b in range(8)
 )
 _ANN_BUCKET_EXPR_DUCK = " + ".join(
-    "(CASE WHEN CAST(embedding[%d] AS DOUBLE) "
-    "- CAST(embedding[%d] AS DOUBLE) > 0 THEN %d ELSE 0 END)"
-    % (2 * b + 1, 2 * b + 2, 1 << b)
+    "(CASE WHEN %s > 0 THEN %d ELSE 0 END)"
+    % (_dot_plane_duck(_PLANES[b]), 1 << b)
     for b in range(8)
 )
 _q("ann_lsh_buckets", f"""
@@ -449,90 +517,97 @@ FROM embeddings
 GROUP BY 1
 """)
 
-# Embedding-cosine near-dup dedup: LSH-bucket prefilter defuses the O(n^2)
-# pair space (at 100 TB the self-join shuffles on `bucket`, so each task only
-# compares within one bucket), then exact cosine over candidate pairs.
-_q("dedup_embedding_cosine", f"""
-WITH b AS (
-  SELECT vec_id, label,
-         transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-         CAST({_ANN_BUCKET_EXPR} AS BIGINT) AS bucket
-  FROM embeddings
-), pairs AS (
-  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-         aggregate(zip_with(a.v, c.v, (x, y) -> x * y),
-                   CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
-         / (sqrt(aggregate(a.v, CAST(0.0 AS DOUBLE),
-                           (acc, x) -> acc + x * x))
-            * sqrt(aggregate(c.v, CAST(0.0 AS DOUBLE),
-                             (acc, x) -> acc + x * x))) AS cos
-  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-)
-SELECT vec_a, vec_b, round(cos, 3) AS cosine
-FROM pairs WHERE cos >= 0.3
-ORDER BY vec_a, vec_b
-""", f"""
-WITH b AS (
-  SELECT vec_id, label,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-         CAST({_ANN_BUCKET_EXPR_DUCK} AS BIGINT) AS bucket
-  FROM embeddings
-), pairs AS (
-  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-         list_dot_product(a.v, c.v)
-         / (sqrt(list_dot_product(a.v, a.v))
-            * sqrt(list_dot_product(c.v, c.v))) AS cos
-  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-)
-SELECT vec_a, vec_b, round(cos, 3) AS cosine
-FROM pairs WHERE cos >= 0.3
-ORDER BY vec_a, vec_b
-""")
+# Embedding-cosine near-dup dedup: BANDED LSH prefilter (2 bands × 4 random
+# hyperplanes) defuses the O(n^2) pair space — at 100 TB the self-join
+# shuffles on (band, bucket) so each task only compares within one bucket,
+# and the band union drives recall at near-dup similarity to
+# 1-(1-p^4)^2 ≈ 0.95 for cos≥0.98 (asserted with planted near-dups in
+# tests/test_ann_recall.py).  Exact cosine verifies candidates.
 
-# IVF-style ANN: coarse-quantize every vector into a cell (deterministic
-# sign-pattern cells stand in for k-means centroids — no training pass),
-# multi-probe the query's cell plus its Hamming-1 neighbors, exact cosine
-# within the probed cells.  At scale the table is written partitioned by
-# cell so the probe is a partition-pruned scan (9 of 256 cells), not a
-# full pass.
-_q("ann_ivf_topk", f"""
-WITH cells AS (
-  SELECT vec_id, label, embedding,
-         CAST({_ANN_BUCKET_EXPR} AS BIGINT) AS cell
+
+def _band_expr(mk_dot, planes):
+    return " + ".join(
+        "(CASE WHEN %s > 0 THEN %d ELSE 0 END)" % (mk_dot(p), 1 << i)
+        for i, p in enumerate(planes))
+
+
+def _near_dup_sql(mk_dot_plane, dot, to_double):
+    band0 = _band_expr(mk_dot_plane, _PLANES[:4])
+    band1 = _band_expr(mk_dot_plane, _PLANES[4:])
+    def cos(a, b):
+        return f"{dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))"
+    return f"""
+WITH b AS (
+  SELECT vec_id, label, {to_double} AS v,
+         CAST({band0} AS BIGINT) AS bucket0,
+         CAST({band1} AS BIGINT) AS bucket1
   FROM embeddings
-), q AS (SELECT cell, embedding AS qv FROM cells WHERE vec_id = 0)
+), pairs AS (
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, {cos('a.v', 'c.v')} AS cos
+  FROM b a JOIN b c ON a.bucket0 = c.bucket0 AND a.vec_id < c.vec_id
+  UNION
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, {cos('a.v', 'c.v')} AS cos
+  FROM b a JOIN b c ON a.bucket1 = c.bucket1 AND a.vec_id < c.vec_id
+)
+SELECT vec_a, vec_b, round(cos, 3) AS cosine
+FROM pairs WHERE cos >= 0.3
+ORDER BY vec_a, vec_b
+"""
+
+
+_q("dedup_embedding_cosine",
+   _near_dup_sql(_dot_plane_spark, _sdot,
+                 "transform(embedding, x -> CAST(x AS DOUBLE))"),
+   _near_dup_sql(_dot_plane_duck, _ddot,
+                 "list_transform(embedding, x -> CAST(x AS DOUBLE))"))
+
+# IVF ANN with SAMPLED centroids: the first 16 vectors are the coarse
+# codebook (a deterministic sample standing in for one k-means pass), every
+# vector is assigned to its nearest centroid by cosine (narrow n×16
+# broadcast pass — scale-safe), and the query multi-probes its 2 nearest
+# cells.  At 100 TB the table is written partitioned by `cell`, so the probe
+# is a partition-pruned scan of 2/16 cells.  Recall vs brute force is
+# asserted in tests/test_ann_recall.py.
+_N_CENTROIDS = 16
+_N_PROBE = 2
+
+
+def _ivf_sql(dot, to_double):
+    def cos(a, b):
+        return f"{dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))"
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, label, {to_double} AS v FROM embeddings
+), cent AS (
+  SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id < {_N_CENTROIDS}
+), scored AS (
+  SELECT vec_id, label, v, cent_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, cent_id) AS rn
+  FROM (
+    SELECT t.vec_id, t.label, t.v, c.cent_id,
+           {cos('t.v', 'c.cv')} AS cos
+    FROM vecs t CROSS JOIN cent c
+  )
+), cells AS (
+  SELECT vec_id, label, v, cent_id AS cell FROM scored WHERE rn = 1
+), qprobe AS (
+  SELECT cent_id AS cell FROM scored WHERE vec_id = 0 AND rn <= {_N_PROBE}
+), q AS (
+  SELECT v AS qv FROM vecs WHERE vec_id = 0
+)
 SELECT c.vec_id, c.label,
-       round(
-         aggregate(zip_with(c.embedding, q.qv,
-                            (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
-         / (sqrt(aggregate(c.embedding, CAST(0.0 AS DOUBLE),
-                           (acc, v) -> acc + CAST(v AS DOUBLE) * v))
-            * sqrt(aggregate(q.qv, CAST(0.0 AS DOUBLE),
-                             (acc, v) -> acc + CAST(v AS DOUBLE) * v))),
-         3) AS cosine
-FROM cells c JOIN q ON bit_count(c.cell ^ q.cell) <= 1
+       round({cos('c.v', 'q.qv')}, 3) AS cosine
+FROM cells c JOIN qprobe p ON c.cell = p.cell CROSS JOIN q
 WHERE c.vec_id <> 0
 ORDER BY cosine DESC, vec_id
 LIMIT 10
-""", f"""
-WITH cells AS (
-  SELECT vec_id, label,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-         CAST({_ANN_BUCKET_EXPR_DUCK} AS BIGINT) AS cell
-  FROM embeddings
-), q AS (SELECT cell, v AS qv FROM cells WHERE vec_id = 0)
-SELECT c.vec_id, c.label,
-       round(
-         list_dot_product(c.v, q.qv)
-         / (sqrt(list_dot_product(c.v, c.v))
-            * sqrt(list_dot_product(q.qv, q.qv))),
-         3) AS cosine
-FROM cells c JOIN q ON bit_count(xor(c.cell, q.cell)) <= 1
-WHERE c.vec_id <> 0
-ORDER BY cosine DESC, vec_id
-LIMIT 10
-""")
+"""
+
+
+_q("ann_ivf_topk",
+   _ivf_sql(_sdot, "transform(embedding, x -> CAST(x AS DOUBLE))"),
+   _ivf_sql(_ddot, "list_transform(embedding, x -> CAST(x AS DOUBLE))"))
 
 # ---------------------------------------------------------------------------
 # text analysis family

@@ -16,23 +16,35 @@ other values are catalog table identifiers (Iceberg).
 
 from __future__ import annotations
 
-from functools import lru_cache
-
 from pyspark.sql import DataFrame, SparkSession
 
+# Per-application probe cache, keyed by the applicationId of the SESSION the
+# probe actually ran against (an lru_cache on an unused argument could serve
+# one session's answer to another in a multi-session process).
+_ICEBERG_PROBE: dict[str, bool] = {}
 
-@lru_cache(maxsize=4)
-def iceberg_available(spark_id: str) -> bool:
-    """True when an Iceberg catalog is importable in this JVM."""
-    spark = SparkSession.getActiveSession()
-    if spark is None:
-        return False
-    try:
-        spark._jvm.java.lang.Class.forName(
-            "org.apache.iceberg.spark.source.SparkTable")
-        return True
-    except Exception:  # noqa: BLE001 — jar probe
-        return False
+
+def iceberg_available(spark: SparkSession | str) -> bool:
+    """True when an Iceberg catalog is importable in this session's JVM.
+
+    Accepts the SparkSession itself (preferred); a bare applicationId string
+    is tolerated for backward compatibility and resolved via the active
+    session without caching a possibly-wrong answer under that key.
+    """
+    if isinstance(spark, str):
+        active = SparkSession.getActiveSession()
+        if active is None:
+            return False
+        spark = active
+    key = spark.sparkContext.applicationId
+    if key not in _ICEBERG_PROBE:
+        try:
+            spark._jvm.java.lang.Class.forName(
+                "org.apache.iceberg.spark.source.SparkTable")
+            _ICEBERG_PROBE[key] = True
+        except Exception:  # noqa: BLE001 — jar probe
+            _ICEBERG_PROBE[key] = False
+    return _ICEBERG_PROBE[key]
 
 
 def _is_path(identifier: str) -> bool:
@@ -43,7 +55,7 @@ def read_table(spark: SparkSession, identifier: str) -> DataFrame:
     """Scan a documents/side table by path (parquet) or name (Iceberg)."""
     if _is_path(identifier):
         return spark.read.parquet(identifier)
-    if iceberg_available(spark.sparkContext.applicationId):
+    if iceberg_available(spark):
         return spark.read.format("iceberg").load(identifier)
     return spark.read.table(identifier)
 
@@ -54,8 +66,7 @@ def write_bucketed(df: DataFrame, identifier: str,
     `df`, never duplicate — Iceberg `overwritePartitions` or parquet
     dynamic partition overwrite."""
     spark = df.sparkSession
-    if not _is_path(identifier) and iceberg_available(
-            spark.sparkContext.applicationId):
+    if not _is_path(identifier) and iceberg_available(spark):
         df.writeTo(identifier).overwritePartitions()
         return
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -66,8 +77,7 @@ def write_bucketed(df: DataFrame, identifier: str,
 def append_metrics(df: DataFrame, identifier: str) -> None:
     """Append-only lineage/metrics table."""
     spark = df.sparkSession
-    if not _is_path(identifier) and iceberg_available(
-            spark.sparkContext.applicationId):
+    if not _is_path(identifier) and iceberg_available(spark):
         df.writeTo(identifier).append()
         return
     df.write.mode("append").parquet(identifier)
