@@ -1,0 +1,97 @@
+"""Non-UTF-8 HTML round-trips: BOM / content-type / meta-prescan charset
+sniffing at the byte boundary (functions/charset), driven end-to-end
+through page_to_spans → the Spark extraction pipeline."""
+
+from pyspark.sql import functions as F
+
+from unfurl_spark.functions.charset import decode_html, sniff_charset
+from unfurl_spark.sources.fixtures import page_to_spans
+
+
+def test_sniff_order():
+    assert sniff_charset(b"\xef\xbb\xbfhello") == "utf-8-sig"
+    assert sniff_charset(b"\xff\xfeh\x00") == "utf-16-le"
+    assert sniff_charset(b"\xfe\xff\x00h") == "utf-16-be"
+    assert sniff_charset(b"<html>", "text/html; charset=ISO-8859-1") == \
+        "latin-1"
+    assert sniff_charset(
+        b'<html><head><meta charset="Shift_JIS"></head>') == "shift_jis"
+    assert sniff_charset(
+        b'<html><head><meta http-equiv="Content-Type" '
+        b'content="text/html; charset=gb2312"></head>') == "gbk"
+    # content-type param beats meta prescan
+    assert sniff_charset(
+        b'<meta charset="shift_jis">',
+        "text/html; charset=windows-1251") == "cp1251"
+    # unknown labels degrade to utf-8, never raise
+    assert sniff_charset(b"<html>", "text/html; charset=x-bogus-enc") == \
+        "utf-8"
+    assert sniff_charset(b"plain") == "utf-8"
+
+
+def test_decode_latin1():
+    html = "<html><head><title>Café Señor</title></head></html>"
+    assert decode_html(html.encode("latin-1"),
+                       "text/html; charset=iso-8859-1") == html
+
+
+def test_decode_shift_jis_meta():
+    title = "日本語のタイトル"
+    html = (f'<html><head><meta charset="shift_jis">'
+            f"<title>{title}</title></head></html>")
+    assert title in decode_html(html.encode("shift_jis"))
+
+
+def _page(body: bytes, ctype: str):
+    return {"url": "https://enc.example.com/page", "status": 200,
+            "headers": {"content-type": ctype}, "body": body}
+
+
+def test_latin1_page_spans_roundtrip(spark):
+    html = ("<html><head><title>Café Señor</title>"
+            '<meta name="description" content="Crème brûlée à côté">'
+            "</head><body><p>voilà un paragraphe assez long pour le strip"
+            " de contenu principal</p></body></html>")
+    page = _page(html.encode("latin-1"), "text/html; charset=iso-8859-1")
+    row = page_to_spans(page)
+    assert "Café Señor" in row["spans"][0]["text"]
+
+    from unfurl_spark.operators.pipeline import extract_spans
+    df = spark.createDataFrame(
+        [(row["doc_id"], row["spans"])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    out = extract_spans(df, num_partitions=2).select(
+        F.explode("spans").alias("s")).select("s.kind", "s.text").collect()
+    spans = {r.kind: r.text for r in out}
+    assert spans["title"] == "Café Señor"
+    assert spans["description"] == "Crème brûlée à côté"
+
+
+def test_shift_jis_page_spans_roundtrip(spark):
+    title = "日本語のタイトル"
+    desc = "これは説明文です"
+    html = (f'<html><head><meta charset="shift_jis"><title>{title}</title>'
+            f'<meta name="description" content="{desc}"></head>'
+            f"<body><p>{'本文 ' * 30}</p></body></html>")
+    page = _page(html.encode("shift_jis"), "text/html")
+    row = page_to_spans(page)
+
+    from unfurl_spark.operators.pipeline import extract_spans
+    df = spark.createDataFrame(
+        [(row["doc_id"], row["spans"])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    out = extract_spans(df, num_partitions=2).select(
+        F.explode("spans").alias("s")).select("s.kind", "s.text").collect()
+    spans = {r.kind: r.text for r in out}
+    assert spans["title"] == title
+    assert spans["description"] == desc
+
+
+def test_mojibake_without_sniffing():
+    """Regression guard: the naive fixed-utf-8 decode this replaces really
+    does mangle the latin-1 fixture (the bug class the sniffer closes)."""
+    raw = "Café".encode("latin-1")
+    assert "Café" not in raw.decode("utf-8", "replace")
+    assert decode_html(raw, "text/html; charset=latin1") == "Café"

@@ -1,0 +1,109 @@
+"""mp4 container depth: synthesized minimal ISO-BMFF files through
+media.mp4_metadata / exiftool_video and the multimodal frame sampler."""
+
+import struct
+
+from unfurl_spark.functions.media import (
+    exiftool_video,
+    mp4_metadata,
+)
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _mvhd(timescale: int, duration: int, version: int = 0) -> bytes:
+    if version == 1:
+        body = (bytes([1, 0, 0, 0]) + b"\x00" * 16
+                + struct.pack(">I", timescale)
+                + struct.pack(">Q", duration) + b"\x00" * 76)
+    else:
+        body = (b"\x00" * 4 + b"\x00" * 8
+                + struct.pack(">I", timescale)
+                + struct.pack(">I", duration) + b"\x00" * 76)
+    return _box(b"mvhd", body)
+
+
+def _tkhd(width: int, height: int) -> bytes:
+    # version 0: 76 bytes before the 16.16 width/height pair
+    body = (b"\x00" * 76
+            + struct.pack(">I", width << 16)
+            + struct.pack(">I", height << 16))
+    return _box(b"tkhd", body)
+
+
+def _minimal_mp4(brand: bytes = b"isom", timescale: int = 1000,
+                 duration: int = 12500, width: int = 1920,
+                 height: int = 1080, mvhd_version: int = 0) -> bytes:
+    ftyp = _box(b"ftyp", brand + struct.pack(">I", 0) + b"isomiso2")
+    moov = _box(b"moov",
+                _mvhd(timescale, duration, mvhd_version)
+                + _box(b"trak", _tkhd(0, 0))        # audio trak: 0x0
+                + _box(b"trak", _tkhd(width, height)))
+    return ftyp + moov + _box(b"mdat", b"\x00" * 32)
+
+
+def test_mp4_metadata_dimensions_and_duration():
+    meta = mp4_metadata(_minimal_mp4())
+    assert meta["brand"] == "isom"
+    assert meta["width"] == 1920 and meta["height"] == 1080
+    assert meta["duration_s"] == 12.5
+
+
+def test_mp4_metadata_version1_mvhd():
+    meta = mp4_metadata(_minimal_mp4(timescale=600, duration=3000,
+                                     mvhd_version=1))
+    assert meta["duration_s"] == 5.0
+
+
+def test_mp4_metadata_defensive_on_garbage():
+    assert mp4_metadata(b"") == {}
+    assert mp4_metadata(b"\x00" * 64) == {}
+    # truncated / lying box sizes must not raise
+    data = _minimal_mp4()
+    assert isinstance(mp4_metadata(data[:40]), dict)
+    evil = _box(b"ftyp", b"isom\x00\x00\x00\x00") + \
+        struct.pack(">I", 2 ** 31) + b"moov"
+    assert isinstance(mp4_metadata(evil), dict)
+
+
+def test_exiftool_video_mime_from_brand():
+    assert exiftool_video("u", _minimal_mp4(b"isom")) == {
+        "type": "video", "url": "u", "encodingFormat": "video/mp4"}
+    assert exiftool_video("u", _minimal_mp4(b"qt  "))["encodingFormat"] == \
+        "video/quicktime"
+    assert exiftool_video("u", _minimal_mp4(b"M4V "))["encodingFormat"] == \
+        "video/x-m4v"
+    assert exiftool_video("u", _minimal_mp4(b"3g2a"))["encodingFormat"] == \
+        "video/3gpp2"
+    # output shape stays exactly {type, url, encodingFormat} (reference
+    # consumes only MIMEType — unfurl-exiftool/src/index.ts:69-74)
+    assert set(exiftool_video("u", _minimal_mp4())) == {
+        "type", "url", "encodingFormat"}
+
+
+def test_frame_sampler_uses_real_duration(spark):
+    from unfurl_spark.functions.multimodal import sample_frames
+
+    clip = _minimal_mp4(duration=8000)  # 8 s at timescale 1000
+    df = spark.createDataFrame(
+        [("v1", clip), ("v2", b"not-a-video")],
+        "media_ref string, payload binary")
+    rows = sample_frames(df, n_frames=4).collect()
+    ts = {r.media_ref: sorted([x.frame_ts_ms for x in rows
+                               if x.media_ref == r.media_ref])
+          for r in rows}
+    assert ts["v1"] == [0, 2000, 4000, 6000]      # spread across 8 s
+    assert ts["v2"] == [0, 1000, 2000, 3000]      # fallback interval
+
+
+def test_decode_media_mp4_dims(spark):
+    from unfurl_spark.functions.multimodal import decode_media
+
+    df = spark.createDataFrame(
+        [("v1", "video/mp4", _minimal_mp4(width=640, height=360))],
+        "media_ref string, ctype string, payload binary")
+    row = decode_media(df).collect()[0]
+    assert row.container == "mp4"
+    assert (row.width, row.height) == (640, 360)

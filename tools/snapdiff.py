@@ -16,6 +16,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from snap_parse import UNDEFINED, SnapDate, parse_snap_file, url_of  # noqa: E402
 
+from unfurl_spark.functions.charset import decode_html  # noqa: E402
 from unfurl_spark.functions.coerce import extract_mime  # noqa: E402
 from unfurl_spark.functions.engine import parse_oembed, scrape_document  # noqa: E402
 from unfurl_spark.sources.fixtures import (  # noqa: E402
@@ -103,6 +104,9 @@ def run_url(url: str, suite: str, context_store, request) -> dict | None:
     if build_filename(url) in _PRUNED:
         return None  # body blob pruned from the checkout — cannot reproduce
     body = page["body"]
+    ctype = (page["headers"].get("content-type") or "")
+    if isinstance(ctype, list):
+        ctype = ctype[0] if ctype else ""
     mime = extract_mime(
         (page["headers"].get("content-type") or "")
         if not isinstance(page["headers"].get("content-type"), list)
@@ -121,7 +125,7 @@ def run_url(url: str, suite: str, context_store, request) -> dict | None:
         url=page["url"],
         status=page["status"],
         headers=page["headers"],
-        body_text=body.decode("utf-8", "replace") if mime == "text/html" else None,
+        body_text=decode_html(body, ctype) if mime == "text/html" else None,
         body_bytes=body,
         context_store=context_store,
         oembed_lookup=oembed_lookup,

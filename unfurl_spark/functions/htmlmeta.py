@@ -63,26 +63,12 @@ _VOID = {
 _ICON_RELS = {
     "icon", "shortcut icon", "apple-touch-icon", "apple-touch-icon-precomposed",
 }
-# Built-in oembed provider endpoints, appended to result.alternate when the
-# page URL matches (observed in the reference snapshots: pages with no
-# discovery link — instagram/flickr/kickstarter/ted — and soundcloud, whose
-# page link is typed text/json+oembed and filtered out, still resolve oembed
-# from these canonical endpoints, always keyed by the FINAL page URL).
-_OEMBED_PROVIDERS: list[tuple[re.Pattern, str, bool]] = [
-    (re.compile(r"^https?://(www\.)?instagram\.com/p/[^/]+"),
-     "https://api.instagram.com/oembed?type=json&url=", True),
-    (re.compile(r"^https?://soundcloud\.com/[^/]+/[^/]+"),
-     "https://soundcloud.com/oembed?type=json&url=", True),
-    (re.compile(r"^https?://(www\.)?flickr\.com/photos/[^/]+/\d+(/sizes/[^/]+)?/?$"),
-     "https://www.flickr.com/services/oembed?url=", True),
-    (re.compile(r"^https?://(www\.)?kickstarter\.com/projects/.+"),
-     "https://www.kickstarter.com/services/oembed?url=", True),
-    (re.compile(r"^https?://(www\.)?ted\.com/talks/.+"),
-     "https://www.ted.com/services/v1/oembed.json?url=", True),
-]
-
-# JS encodeURIComponent unreserved set
-_ENC_SAFE = "!'()*-._~"
+# oEmbed endpoint discovery for pages with no in-body discovery link is
+# registry-backed: functions/oembed_providers.py bundles an offline subset
+# of the public oembed.com providers.json (the reference gets the same
+# behavior from htmlmetaparser's bundled provider data, consumed at
+# unfurl-html/src/index.ts:96-99), always keyed by the FINAL page URL.
+from .oembed_providers import discovery_href as _oembed_discovery_href
 # <meta name=...> keys copied into result.html verbatim (consumed set plus
 # common aliases seen in the fixture corpus).
 _HTML_META_NAMES = {
@@ -519,16 +505,13 @@ class MetaHandler(HTMLParser):
         _strip_text_slots(self._micro_top)
         self.result.pop("__jsonld_islist__", None)
         self.result.pop("base_seen", None)
-        for rx, endpoint, encode in _OEMBED_PROVIDERS:
-            if rx.match(self.url):
-                from urllib.parse import quote
-                target = quote(self.url, safe=_ENC_SAFE) if encode else self.url
-                self.result["alternate"].append({
-                    "type": "application/json+oembed",
-                    "href": endpoint + target,
-                    "title": None, "media": None, "hreflang": None,
-                })
-                break
+        provider_href = _oembed_discovery_href(self.url)
+        if provider_href is not None:
+            self.result["alternate"].append({
+                "type": "application/json+oembed",
+                "href": provider_href,
+                "title": None, "media": None, "hreflang": None,
+            })
         if self._micro_top:
             self.result["microdata"] = self._micro_top
         if len(self._rdfa_root) > 1:

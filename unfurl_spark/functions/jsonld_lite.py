@@ -304,3 +304,27 @@ def normalize_jsonld(docs: list, url: str,
             if not nid or nid == id_prefix or nid.startswith(id_prefix + "#"):
                 out.append(n)
     return out
+
+
+def collect_context_urls(element: object) -> set:
+    """All remote (string-valued) @context references in a JSON-LD value,
+    recursively — the discovery half of the remote-context pre-pass
+    (operators/context_prepass.py).  Pure traversal, no resolution."""
+    urls: set = set()
+    if isinstance(element, dict):
+        local = element.get("@context")
+        items = local if isinstance(local, list) else [local]
+        for item in items:
+            if isinstance(item, str) and _is_abs_iri(item):
+                urls.add(item)
+        for value in element.values():
+            urls |= collect_context_urls(value)
+    elif isinstance(element, list):
+        for value in element:
+            urls |= collect_context_urls(value)
+    return urls
+
+
+def context_resolvable(url: str, store: dict | None) -> bool:
+    """True when the offline store can satisfy this remote context."""
+    return _fetch_context(url, store) is not None

@@ -233,6 +233,10 @@ def _sniff(data: bytes) -> str | None:
         return "png"
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return "webp"
+    if len(data) > 12 and data[4:8] == b"ftyp":
+        return "mp4"
+    if data[:4] == b"\x1aE\xdf\xa3":
+        return "webm"
     return None
 
 
@@ -437,12 +441,93 @@ def exiftool_pdf(url: str, data: bytes) -> dict:
     }
 
 
+# ftyp major-brand → MIME (the mapping exiftool's QuickTime module applies
+# when deriving MIMEType; subset covering the brands that reach a video
+# content-type)
+_FTYP_MIME = {
+    b"M4A ": "audio/mp4", b"M4B ": "audio/mp4", b"M4P ": "audio/mp4",
+    b"M4V ": "video/x-m4v", b"M4VH": "video/x-m4v", b"M4VP": "video/x-m4v",
+    b"3g2a": "video/3gpp2", b"3g2b": "video/3gpp2", b"3g2c": "video/3gpp2",
+}
+
+
+def _walk_mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (box_type, payload_start, payload_end) for the top-level boxes
+    of one container span.  Defensive: malformed sizes terminate the walk
+    instead of raising (per-doc isolation contract)."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos:pos + 4], "big")
+        btype = data[pos + 4:pos + 8]
+        header = 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(data[pos + 8:pos + 16], "big")
+            header = 16
+        elif size == 0:
+            size = end - pos
+        if size < header or pos + size > end:
+            return
+        yield btype, pos + header, pos + size
+        pos += size
+
+
+def mp4_metadata(data: bytes) -> dict:
+    """ISO-BMFF container depth: major brand plus moov/mvhd duration and
+    per-trak tkhd dimensions (width/height are 16.16 fixed point; the
+    largest trak wins — audio traks carry 0×0).  Pure stdlib, header-only
+    (the moov box of a faststart file sits in the first bytes the S3
+    byte-cap projection fetches)."""
+    out: dict = {}
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return out
+    out["brand"] = data[8:12].decode("latin-1")
+    for btype, ps, pe in _walk_mp4_boxes(data, 0, len(data)):
+        if btype != b"moov":
+            continue
+        for ctype_, cs, ce in _walk_mp4_boxes(data, ps, pe):
+            if ctype_ == b"mvhd" and ce - cs >= 20:
+                version = data[cs]
+                if version == 1 and ce - cs >= 28:
+                    timescale = int.from_bytes(data[cs + 20:cs + 24], "big")
+                    duration = int.from_bytes(data[cs + 24:cs + 32], "big")
+                else:
+                    timescale = int.from_bytes(data[cs + 12:cs + 16], "big")
+                    duration = int.from_bytes(data[cs + 16:cs + 20], "big")
+                if timescale:
+                    out["duration_s"] = round(duration / timescale, 3)
+            elif ctype_ == b"trak":
+                for gtype, gs, ge in _walk_mp4_boxes(data, cs, ce):
+                    if gtype != b"tkhd":
+                        continue
+                    version = data[gs]
+                    off = gs + (88 if version == 1 else 76)
+                    if off + 8 > ge:
+                        continue
+                    w = int.from_bytes(data[off:off + 4], "big") >> 16
+                    h = int.from_bytes(data[off + 4:off + 8], "big") >> 16
+                    if w and h and w * h > (out.get("width", 0)
+                                            * out.get("height", 0)):
+                        out["width"], out["height"] = w, h
+        break
+    return out
+
+
 def exiftool_video(url: str, data: bytes) -> dict:
-    """unfurl-exiftool video parity (unfurl-exiftool/src/index.ts:69-74)."""
+    """unfurl-exiftool video parity (unfurl-exiftool/src/index.ts:69-74):
+    the output shape is exactly {type, url, encodingFormat} — the reference
+    consumes only exifData.MIMEType.  The MIME itself now comes from the
+    real container parse (brand table + box walk via ``mp4_metadata``);
+    the deeper width/height/duration ride the multimodal feature path
+    (functions/multimodal.py), not this parity-pinned snippet."""
     fmt = None
     if len(data) > 12 and data[4:8] == b"ftyp":
         brand = data[8:12]
-        fmt = "video/quicktime" if brand.startswith(b"qt") else "video/mp4"
+        if brand.startswith(b"qt"):
+            fmt = "video/quicktime"
+        else:
+            fmt = _FTYP_MIME.get(brand, "video/mp4")
     elif data[:4] == b"\x1aE\xdf\xa3":
         fmt = "video/webm"
     if fmt is None:

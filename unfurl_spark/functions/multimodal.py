@@ -29,7 +29,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .media import _png_info, _sniff, _webp_info
+from .media import _png_info, _sniff, _webp_info, mp4_metadata
 
 # cap payload bytes entering Python — headers live in the prefix (the
 # reference caps EXIF reads at 131072, unfurl-exif/src/index.ts:21)
@@ -86,6 +86,9 @@ def _dims(container: str | None, data: bytes):
             seg_len = struct.unpack(">H", data[i + 2:i + 4])[0]
             i += 2 + seg_len
         return None, None
+    if container == "mp4":
+        meta = mp4_metadata(data)
+        return meta.get("width"), meta.get("height")
     return None, None
 
 
@@ -216,8 +219,11 @@ def sample_frames(df: DataFrame, n_frames: int = 4,
                   num_partitions: int | None = None) -> DataFrame:
     """(media_ref, payload) → n_frames rows per video (1→N batch shape).
 
-    Demonstrates the exploding Arrow stage a real ffmpeg frame sampler
-    uses; frame payloads are the deterministic stub.
+    Frame timestamps are REAL when the container declares a duration
+    (mp4 moov/mvhd via media.mp4_metadata): frames spread evenly across
+    the clip, exactly like an `ffmpeg -vf fps=` sampler; containers with
+    no parseable duration fall back to the fixed interval.  Frame pixel
+    payloads remain the deterministic stub (codec boundary).
     """
 
     def run(batches: Iterator) -> Iterator:
@@ -228,10 +234,15 @@ def sample_frames(df: DataFrame, n_frames: int = 4,
             o_refs, o_idx, o_ts, o_payload = [], [], [], []
             for ref, payload in zip(refs, payloads):
                 data = payload or b""
+                duration_s = mp4_metadata(data).get("duration_s")
+                if duration_s:
+                    step_ms = max(1, int(duration_s * 1000 / n_frames))
+                else:
+                    step_ms = frame_interval_ms
                 for i in range(n_frames):
                     o_refs.append(ref)
                     o_idx.append(i)
-                    o_ts.append(i * frame_interval_ms)
+                    o_ts.append(i * step_ms)
                     o_payload.append(
                         _fake_pixels(f"{ref}#{i}", data, 256))
             yield pa.RecordBatch.from_arrays(

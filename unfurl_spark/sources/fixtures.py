@@ -135,8 +135,11 @@ def page_to_spans(page: dict, doc_id: str | None = None) -> dict:
         ctype = ctype[0] if ctype else ""
     mime = ctype.split(";", 1)[0].strip().lower()
     if mime == "text/html":
+        from ..functions.charset import decode_html
         kind = "html"
-        text = page["body"].decode("utf-8", "replace")
+        # byte-level boundary: BOM / content-type / meta-prescan charset
+        # sniff, matching the reference's raw-byte stream into htmlparser2
+        text = decode_html(page["body"], ctype)
         spans = [{"kind": kind, "text": text, "media_ref": url, "offset": 0}]
     elif mime == "application/pdf":
         spans = [{"kind": "pdf", "text": "", "media_ref": url, "offset": 0}]
