@@ -85,6 +85,22 @@ CHECKS = {
     "dedup_minhash_lsh_buckets": [
         ("explode stays JVM-side", lambda p: "Generate" in p
          and "BatchEvalPython" not in p),
+        ("join-free shingling (scan→project→agg only)",
+         lambda p: "Join" not in _final_plan(p)),
+    ],
+    "dedup_minhash_signature": [
+        ("join-free shingling (scan→project→agg only)",
+         lambda p: "Join" not in _final_plan(p)),
+        ("map-side partial agg", lambda p: "partial_min" in p),
+    ],
+    "dedup_ngram_jaccard": [
+        ("pair-side verify equi-joins on doc_id",
+         lambda p: ("HashJoin" in _final_plan(p)
+                    or "SortMergeJoin" in _final_plan(p))),
+    ],
+    "dedup_apply_keep": [
+        ("keeper application is an anti-join",
+         lambda p: "LeftAnti" in _final_plan(p)),
     ],
 }
 
@@ -96,6 +112,34 @@ PIPELINE_CHECKS = [
     ("payload column pruned to spans+doc_id",
      lambda p: "ReadSchema" in p),
 ]
+
+# BroadcastNestedLoopJoin is a scale-killer EXCEPT when the build side is a
+# known-tiny relation by construction — each allowance names the relation
+# and caps the count.
+BNL_ALLOWED = {
+    "ann_cosine_topk": (1, "cross join against the single query-vector row"),
+    "ann_ivf_topk": (3, "16-row sampled codebook + 1-row query vector"),
+}
+
+
+def _final_plan(p: str) -> str:
+    """AQE executed-plan dumps append an '== Initial Plan ==' section —
+    count operators in the FINAL plan only."""
+    return p.split("== Initial Plan ==", 1)[0]
+
+
+def universal_checks(name: str):
+    """Scale-safety floor asserted for EVERY registry query."""
+    bnl_cap, bnl_why = BNL_ALLOWED.get(name, (0, None))
+    label = ("no BroadcastNestedLoopJoin" if bnl_why is None
+             else f"BNL only vs tiny sides (≤{bnl_cap}: {bnl_why})")
+    return [
+        ("no CartesianProduct",
+         lambda p: "CartesianProduct" not in _final_plan(p)),
+        (label, lambda p: _final_plan(p).count(
+            "BroadcastNestedLoopJoin") <= bnl_cap),
+        ("no per-row Python", lambda p: "BatchEvalPython" not in p),
+    ]
 
 
 def main() -> int:
@@ -114,13 +158,18 @@ def main() -> int:
     ]
     failures: list[str] = []
 
-    for name, checks in CHECKS.items():
-        fn, _ = QUERIES[name]
+    # every registry query gets the universal scale-safety checks; the
+    # headline queries in CHECKS additionally get their named plan
+    # properties and their full formatted plan in the appendix
+    summary_rows: list[str] = []
+    detail_sections: list[str] = []
+    for name, (fn, _sql) in QUERIES.items():
+        checks = universal_checks(name) + CHECKS.get(name, [])
         df = fn(spark, sf_dir)
         df.collect()                  # AQE: codegen marks appear in the
         plan = simple_plan(df)        # FINAL plan only; checks run on the
-        shown = fmt_plan(df)          # one-node-per-line form
         rows = []
+        n_fail = 0
         for label, pred in checks:
             ok = False
             try:
@@ -129,11 +178,27 @@ def main() -> int:
                 ok = False
             rows.append(f"| {label} | {'PASS' if ok else 'FAIL'} |")
             if not ok:
+                n_fail += 1
                 failures.append(f"{name}: {label}")
-        sections.append(
-            f"\n## {name}\n\n| property | status |\n|---|---|\n"
-            + "\n".join(rows)
-            + f"\n\n```\n{shown.strip()}\n```\n")
+        summary_rows.append(
+            f"| {name} | {len(checks) - n_fail}/{len(checks)} | "
+            f"{'PASS' if n_fail == 0 else 'FAIL'} |")
+        if name in CHECKS:
+            shown = fmt_plan(df)      # one-node-per-line form
+            detail_sections.append(
+                f"\n## {name}\n\n| property | status |\n|---|---|\n"
+                + "\n".join(rows)
+                + f"\n\n```\n{shown.strip()}\n```\n")
+
+    sections.append(
+        "\n## All registry queries — scale-safety floor\n\n"
+        "Universal per-query asserts: no CartesianProduct, no "
+        "BroadcastNestedLoopJoin (beyond the named tiny-side allowances), "
+        "no per-row Python.  Headline queries carry extra named "
+        "properties (detailed below).\n\n"
+        "| query | checks passed | status |\n|---|---|---|\n"
+        + "\n".join(summary_rows) + "\n")
+    sections.extend(detail_sections)
 
     import tempfile
 
@@ -163,8 +228,9 @@ def main() -> int:
         for f in failures:
             print(" -", f)
         return 1
+    from unfurl_spark.operators.queries import QUERIES as _Q
     print(f"all plan properties pass; PLANS.md written "
-          f"({len(CHECKS) + 1} plans)")
+          f"({len(_Q)} queries audited, {len(CHECKS) + 1} detailed plans)")
     return 0
 
 

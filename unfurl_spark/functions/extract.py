@@ -36,6 +36,8 @@ CC = "https://creativecommons.org/ns#"
 
 def truthy(v: object) -> bool:
     """JavaScript truthiness (arrays/objects truthy, NaN/''/0 falsy)."""
+    if type(v) is str:  # hottest case by far (profiled) — exact-type fast path
+        return v != ""
     if v is None or v is False:
         return False
     if isinstance(v, (int, float)) and not isinstance(v, bool):
@@ -49,9 +51,14 @@ def js_or(*vals):
     """a || b || c — returns first truthy, else last."""
     out = None
     for v in vals:
-        out = v() if callable(v) else v
-        if truthy(out):
-            return out
+        if callable(v):
+            v = v()
+        out = v
+        if type(v) is str:
+            if v != "":
+                return v
+        elif truthy(v):
+            return v
     return out
 
 
@@ -103,11 +110,13 @@ def first(iterable):
 
 def first_of(value, map_fn):
     """``firstOf`` (:360-366)."""
-    if not truthy(value):
-        return None
     if not isinstance(value, list):
-        return None
-    return first(map_fn(x) for x in value)
+        return None  # non-lists (incl. falsy) never map — same as reference
+    for x in value:
+        v = map_fn(x)
+        if truthy(v):
+            return v
+    return None
 
 
 # --- JSON-LD node accessors (:302-341) ---------------------------------------
@@ -154,12 +163,12 @@ def jsonld_value_array(value) -> list:
 
 def _m(options: dict, section: str, key: str):
     meta = options.get("metadata")
-    if not isinstance(meta, dict):
+    if type(meta) is dict:  # always a plain dict from the parser (hot path)
+        sec = meta.get(section)
+        if type(sec) is dict:
+            return sec.get(key)
         return None
-    sec = meta.get(section)
-    if not isinstance(sec, dict):
-        return None
-    return sec.get(key)
+    return None
 
 
 def _graph(options: dict):

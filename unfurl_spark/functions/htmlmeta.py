@@ -214,11 +214,16 @@ class MetaHandler(HTMLParser):
 
     # -- tag handlers ----------------------------------------------------------
 
+    _EMPTY_ATTRS: dict = {}  # shared read-only map for attribute-less tags
+
     def handle_starttag(self, tag, attrs):
-        a = {}
-        for k, v in attrs:
-            if k not in a:
-                a[k] = v if v is not None else ""
+        if attrs:
+            a = {}
+            for k, v in attrs:
+                if k not in a:
+                    a[k] = v if v is not None else ""
+        else:
+            a = self._EMPTY_ATTRS
         if "prefix" in a:  # RDFa 1.1 prefix declarations
             toks = _WS.split(a["prefix"].strip())
             for i in range(0, len(toks) - 1, 2):
@@ -301,16 +306,20 @@ class MetaHandler(HTMLParser):
     def handle_endtag(self, tag):
         if tag in _VOID:
             return
+        stack = self._stack
+        if stack and stack[-1].tag == tag:  # well-nested fast path (hot)
+            self._close_frame(stack.pop())
+            return
         # pop up to the matching open tag (lenient recovery)
         idx = None
-        for i in range(len(self._stack) - 1, -1, -1):
-            if self._stack[i].tag == tag:
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i].tag == tag:
                 idx = i
                 break
         if idx is None:
             return
-        while len(self._stack) > idx:
-            self._close_frame(self._stack.pop())
+        while len(stack) > idx:
+            self._close_frame(stack.pop())
 
     def _close_frame(self, frame: _Frame) -> None:
         if self._content:
