@@ -96,10 +96,14 @@ def _set(mapping: dict, key: str, value: str) -> None:
     mapping[key] = value
 
 
+_UNSET = object()  # sentinel: frame saved no vocab
+
+
 class _Frame:
     """One open element: carries any microdata item / text capture."""
     __slots__ = ("tag", "item", "text_parts", "capture_text",
-                 "c_skip", "c_boiler", "c_anchor")
+                 "c_skip", "c_boiler", "c_anchor",
+                 "rdfa_node", "rdfa_prev_vocab")
 
     def __init__(self, tag: str):
         self.tag = tag
@@ -109,6 +113,8 @@ class _Frame:
         self.c_skip = False
         self.c_boiler = False
         self.c_anchor = False
+        self.rdfa_node: dict | None = None   # RDFa typeof scope to pop
+        self.rdfa_prev_vocab = _UNSET        # vocab to restore on close
 
 
 # content-block segmentation sets (shared with functions/content.py — the
@@ -134,6 +140,9 @@ class MetaHandler(HTMLParser):
         self.result: dict = {"icons": [], "alternate": [], "jsonld_blocks": []}
         self._prefixes = dict(RDFA_PREFIXES)
         self._rdfa_root: dict = {"@id": url}
+        self._rdfa_stack: list[dict] = [self._rdfa_root]  # current subject
+        self._rdfa_items: list[dict] = []   # hanging-typeof top-level nodes
+        self._rdfa_vocab: str | None = None  # active RDFa @vocab
         self._stack: list[_Frame] = []
         self._item_stack: list[dict] = []          # open microdata items
         self._micro_top: list[dict] = []
@@ -183,19 +192,20 @@ class MetaHandler(HTMLParser):
         if term.startswith("http://") or term.startswith("https://"):
             return term
         if ":" not in term:
-            return None
+            # RDFa Lite bare term resolves against the active @vocab
+            return self._rdfa_vocab + term if self._rdfa_vocab else None
         prefix, _, rest = term.partition(":")
         base = self._prefixes.get(prefix.lower())
         return base + rest if base else None
 
+    def _rdfa_iris(self, attr: str) -> list[str]:
+        return [iri for t in _WS.split(attr.strip()) if t
+                for iri in (self._expand_curie(t),) if iri]
+
     def _rdfa_add(self, prop_attr: str, value) -> None:
-        for term in _WS.split(prop_attr.strip()):
-            if not term:
-                continue
-            iri = self._expand_curie(term)
-            if iri is None:
-                continue
-            self._rdfa_root.setdefault(iri, []).append(value)
+        node = self._rdfa_stack[-1]
+        for iri in self._rdfa_iris(prop_attr):
+            node.setdefault(iri, []).append(value)
 
     def _vocab(self) -> str:
         for node in reversed(self._item_stack):
@@ -266,14 +276,11 @@ class MetaHandler(HTMLParser):
             self._script_jsonld = stype == "application/ld+json"
             self._script_parts = []
 
-        # RDFa property on content-bearing elements
-        if "property" in a and tag != "meta":
-            content = a.get("content")
-            href = a.get("href")
-            if content is not None:
-                self._rdfa_add(a["property"], _clean(content))
-            elif href:
-                self._rdfa_add(a["property"], {"@id": self._resolve(href)})
+        # RDFa (Lite) on content-bearing elements: vocab scoping, typeof
+        # chains (nested subjects), property literals/IRIs/text captures
+        if tag != "meta" and ("property" in a or "typeof" in a
+                              or "vocab" in a):
+            self._rdfa_element(a, frame)
 
         # microdata
         if "itemscope" in a:
@@ -297,6 +304,62 @@ class MetaHandler(HTMLParser):
                 self._item_stack.pop()
         elif "itemprop" in a and self._item_stack:
             self._micro_prop(tag, a, frame)
+
+    def _rdfa_element(self, a: dict, frame: _Frame | None) -> None:
+        """One RDFa-bearing element (htmlmetaparser builds the same node
+        tree from these attributes; semantics follow RDFa Lite)."""
+        if a.get("vocab"):
+            if frame is not None:
+                frame.rdfa_prev_vocab = self._rdfa_vocab
+            self._rdfa_vocab = a["vocab"].strip()
+        new_node: dict | None = None
+        if "typeof" in a:
+            new_node = {}
+            subj = a.get("about") or a.get("resource")
+            if subj:
+                new_node["@id"] = self._resolve(subj)
+            types = self._rdfa_iris(a["typeof"])
+            if types:
+                new_node["@type"] = types
+        prop = a.get("property")
+        if prop is not None:
+            if new_node is not None:
+                # property + typeof: the new subject is the value of
+                # property on the ENCLOSING subject (RDFa chaining)
+                self._rdfa_add(prop, new_node)
+            else:
+                content = a.get("content")
+                if content is not None:
+                    self._rdfa_add(prop, _clean(content))
+                else:
+                    ref = a.get("resource") or a.get("href") or a.get("src")
+                    if ref:
+                        self._rdfa_add(prop, {"@id": self._resolve(ref)})
+                    elif frame is not None:
+                        self._rdfa_text_prop(frame, prop)
+        elif new_node is not None:
+            # hanging typeof with no property: a new top-level item
+            self._rdfa_items.append(new_node)
+        if new_node is not None:
+            if frame is not None:
+                frame.rdfa_node = new_node
+                self._rdfa_stack.append(new_node)
+            # void element: subject scope closes immediately — no push
+
+    def _rdfa_text_prop(self, frame: _Frame, prop_attr: str) -> None:
+        """property with no content/resource: the element's text content
+        becomes the literal (folded at close via the shared slot path)."""
+        iris = self._rdfa_iris(prop_attr)
+        if not iris:
+            return
+        if frame.text_parts is None:
+            frame.capture_text = True
+            frame.text_parts = []
+        slot: list = []
+        node = self._rdfa_stack[-1]
+        for iri in iris:
+            node.setdefault(iri, []).append(slot)
+        self._pending_text.append((frame, slot, frame.text_parts))
 
     def handle_startendtag(self, tag, attrs):
         self.handle_starttag(tag, attrs)
@@ -322,6 +385,11 @@ class MetaHandler(HTMLParser):
             self._close_frame(stack.pop())
 
     def _close_frame(self, frame: _Frame) -> None:
+        if frame.rdfa_node is not None and self._rdfa_stack and \
+                self._rdfa_stack[-1] is frame.rdfa_node:
+            self._rdfa_stack.pop()
+        if frame.rdfa_prev_vocab is not _UNSET:
+            self._rdfa_vocab = frame.rdfa_prev_vocab
         if self._content:
             if frame.c_skip and self._c_skip > 0:
                 self._c_skip -= 1
@@ -523,8 +591,11 @@ class MetaHandler(HTMLParser):
             })
         if self._micro_top:
             self.result["microdata"] = self._micro_top
-        if len(self._rdfa_root) > 1:
-            self.result["rdfa"] = [self._rdfa_root]
+        rdfa_nodes = ([self._rdfa_root] if len(self._rdfa_root) > 1 else []) \
+            + self._rdfa_items
+        if rdfa_nodes:
+            _strip_text_slots(rdfa_nodes)
+            self.result["rdfa"] = rdfa_nodes
         return self.result
 
 
