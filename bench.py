@@ -26,6 +26,8 @@ BENCH_QUERIES = (
     "tpch_q3_topk",
     "dedup_minhash_lsh_buckets",
     "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_apply_keep",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_ivf_topk",
