@@ -131,9 +131,10 @@ def main():
     ap.add_argument("--docs", type=int, default=50000)
     ap.add_argument("--cpus", default="8,32")
     ap.add_argument("--trials", type=int, default=3)
-    ap.add_argument("--partitions", type=int, default=128,
+    ap.add_argument("--partitions", type=int, default=64,
                     help="same partition count at every level — the job is "
-                         "identical, only the worker count differs")
+                         "identical, only the worker count differs "
+                         "(64 measured best at both 8 and 32 cores)")
     ap.add_argument("--control", action="store_true",
                     help="also run the no-Spark multiprocessing control "
                          "at the same levels (hardware envelope)")

@@ -29,12 +29,13 @@ from pyspark.sql import functions as F
 from ..schema import EXTRACTED
 
 # One Arrow batch should stay well under executor memory even with 100×
-# skew-tail documents (FIXTURES.md): 1024 docs × ~100 KB tail ≈ 100 MB peak
-# per concurrent task; typical docs are ~1-2 KB.  Measured: 256-row batches
-# cost ~1.7× in per-batch crossing overhead and double trial variance;
-# truly giant documents are byte-capped upstream (S3 projection) before
-# they reach the Python stage.
-DEFAULT_ARROW_BATCH = 1024
+# skew-tail documents (FIXTURES.md): 2048 docs × ~100 KB tail ≈ 200 MB peak
+# per concurrent task; typical docs are ~1-2 KB (≈4 MB/batch).  Measured at
+# local[32] on the 100k-doc bench: 2048-row batches beat 1024 by ~15%
+# (fewer JVM↔Python crossings) and 4096 by ~8% (cache pressure); 256-row
+# batches cost ~1.7× in per-batch crossing overhead.  Truly giant documents
+# are byte-capped upstream (S3 projection) before the Python stage.
+DEFAULT_ARROW_BATCH = 2048
 
 # Per-worker-process cache of deserialized broadcast values.  PySpark
 # re-reads a broadcast's pickle file on EVERY task (the Broadcast object is

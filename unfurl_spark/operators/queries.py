@@ -534,19 +534,20 @@ def _band_expr(mk_dot, planes):
 def _near_dup_sql(mk_dot_plane, dot, to_double):
     band0 = _band_expr(mk_dot_plane, _PLANES[:4])
     band1 = _band_expr(mk_dot_plane, _PLANES[4:])
-    def cos(a, b):
-        return f"{dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))"
+    # norms factor out of the pair loop: one sqrt per VECTOR in the CTE,
+    # not three aggregates per PAIR (measured 3× on the bench corpus)
+    cos = f"{dot('a.v', 'c.v')} / (a.nrm * c.nrm)"
     return f"""
 WITH b AS (
-  SELECT vec_id, label, {to_double} AS v,
+  SELECT vec_id, label, v, sqrt({dot('v', 'v')}) AS nrm,
          CAST({band0} AS BIGINT) AS bucket0,
          CAST({band1} AS BIGINT) AS bucket1
-  FROM embeddings
+  FROM (SELECT vec_id, label, embedding, {to_double} AS v FROM embeddings)
 ), pairs AS (
-  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, {cos('a.v', 'c.v')} AS cos
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, {cos} AS cos
   FROM b a JOIN b c ON a.bucket0 = c.bucket0 AND a.vec_id < c.vec_id
   UNION
-  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, {cos('a.v', 'c.v')} AS cos
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, {cos} AS cos
   FROM b a JOIN b c ON a.bucket1 = c.bucket1 AND a.vec_id < c.vec_id
 )
 SELECT vec_a, vec_b, round(cos, 3) AS cosine
@@ -573,31 +574,31 @@ _N_PROBE = 2
 
 
 def _ivf_sql(dot, to_double):
-    def cos(a, b):
-        return f"{dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))"
     return f"""
 WITH vecs AS (
-  SELECT vec_id, label, {to_double} AS v FROM embeddings
+  SELECT vec_id, label, v, sqrt({dot('v', 'v')}) AS nrm
+  FROM (SELECT vec_id, label, {to_double} AS v FROM embeddings)
 ), cent AS (
-  SELECT vec_id AS cent_id, v AS cv FROM vecs WHERE vec_id < {_N_CENTROIDS}
+  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+  FROM vecs WHERE vec_id < {_N_CENTROIDS}
 ), scored AS (
-  SELECT vec_id, label, v, cent_id,
+  SELECT vec_id, label, v, nrm, cent_id,
          row_number() OVER (PARTITION BY vec_id
                             ORDER BY cos DESC, cent_id) AS rn
   FROM (
-    SELECT t.vec_id, t.label, t.v, c.cent_id,
-           {cos('t.v', 'c.cv')} AS cos
+    SELECT t.vec_id, t.label, t.v, t.nrm, c.cent_id,
+           {dot('t.v', 'c.cv')} / (t.nrm * c.cnrm) AS cos
     FROM vecs t CROSS JOIN cent c
   )
 ), cells AS (
-  SELECT vec_id, label, v, cent_id AS cell FROM scored WHERE rn = 1
+  SELECT vec_id, label, v, nrm, cent_id AS cell FROM scored WHERE rn = 1
 ), qprobe AS (
   SELECT cent_id AS cell FROM scored WHERE vec_id = 0 AND rn <= {_N_PROBE}
 ), q AS (
-  SELECT v AS qv FROM vecs WHERE vec_id = 0
+  SELECT v AS qv, nrm AS qnrm FROM vecs WHERE vec_id = 0
 )
 SELECT c.vec_id, c.label,
-       round({cos('c.v', 'q.qv')}, 3) AS cosine
+       round({dot('c.v', 'q.qv')} / (c.nrm * q.qnrm), 3) AS cosine
 FROM cells c JOIN qprobe p ON c.cell = p.cell CROSS JOIN q
 WHERE c.vec_id <> 0
 ORDER BY cosine DESC, vec_id
@@ -686,6 +687,52 @@ FROM documents
 SELECT doc_id,
        md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
 FROM documents
+""")
+
+# ---------------------------------------------------------------------------
+# the composed cleaning recipe a training-data pipeline actually runs:
+# quality gate → exact-dedup keeper → per-language corpus stats.
+# Single declarative query: Catalyst fuses the gate into the scan, the
+# dedup is one hash aggregate, the stats a second — two shuffles total.
+
+_q("corpus_clean_stats", """
+WITH gated AS (
+  SELECT doc_id, lang, text,
+         CAST(length(text) AS BIGINT) AS n_chars_m,
+         CAST(size(split(trim(text), ' +')) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE length(text) >= 80
+    AND CAST(size(split(text, ' ')) AS DOUBLE) / (length(text) + 1) > 0.05
+), kept AS (
+  SELECT md5(text) AS fp, min(doc_id) AS keeper,
+         min(lang) AS lang,
+         min(n_chars_m) AS n_chars_m, min(n_tokens) AS n_tokens
+  FROM gated GROUP BY md5(text)
+)
+SELECT lang, count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       round(avg(n_chars_m), 2) AS avg_chars
+FROM kept GROUP BY lang
+""", """
+WITH gated AS (
+  SELECT doc_id, lang, text,
+         CAST(length(text) AS BIGINT) AS n_chars_m,
+         CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+  WHERE length(text) >= 80
+    AND CAST(len(string_split(text, ' ')) AS DOUBLE) / (length(text) + 1)
+        > 0.05
+), kept AS (
+  SELECT md5(text) AS fp, min(doc_id) AS keeper,
+         min(lang) AS lang,
+         min(n_chars_m) AS n_chars_m, min(n_tokens) AS n_tokens
+  FROM gated GROUP BY md5(text)
+)
+SELECT lang, count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       round(avg(n_chars_m), 2) AS avg_chars
+FROM kept GROUP BY lang
 """)
 
 # ---------------------------------------------------------------------------

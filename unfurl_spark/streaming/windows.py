@@ -160,3 +160,50 @@ def batch_sessionize(events: DataFrame, gap_minutes: float = 30.0
     return (agg.join(last, "user_id")
             .filter(F.col("session_id") < F.col("open_session"))
             .drop("open_session"))
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Streaming exact-dedup over the document stream: the streaming twin
+    of `dedup_exact`'s keeper semantics — the FIRST arrival of each
+    fingerprint passes, later copies drop.
+
+    Uses `dropDuplicatesWithinWatermark` so the dedup state store is
+    bounded by the watermark horizon instead of growing with the corpus:
+    at 10^12 docs an unbounded `dropDuplicates` state is impossible, but
+    a crawl/ingest stream only needs to suppress copies that arrive
+    within the dedup window — offline LSH passes (`dedup_minhash_*`)
+    catch the long-range duplicates.
+    """
+    docs = (spark.readStream
+            .schema("doc_id string, ts timestamp, text string")
+            .format("parquet").load(input_dir))
+    deduped = (docs
+               .withColumn("fp", F.md5("text"))
+               .withWatermark("ts", watermark)
+               .dropDuplicatesWithinWatermark(["fp"]))
+    writer = (deduped.select("doc_id", "ts", "fp")
+              .writeStream.format("parquet")
+              .option("path", output_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def batch_dedup_exact_keepers(docs: DataFrame) -> DataFrame:
+    """Batch twin: the earliest-arrival keeper per fingerprint."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp").orderBy("ts", "doc_id")
+    return (docs.withColumn("fp", F.md5("text"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "ts", "fp"))
