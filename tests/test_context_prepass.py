@@ -64,3 +64,20 @@ def test_fetch_list_schema_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan   # Arrow stage, no row-UDFs
     assert plan.count("MapInArrow") == 1
+
+
+def test_driver_context_prepass_flag(spark, tmp_path):
+    """--context-prepass writes the fetch-list table under the output dir."""
+    from unfurl_spark.plans.driver import run_context_prepass
+
+    df = spark.createDataFrame(
+        [("d1", [("html", _page(_UNKNOWN_CTX), "u1", 0)]),
+         ("d2", [("html", _page(_KNOWN_CTX), "u2", 0)])],
+        f"doc_id string, spans {SPAN_T}")
+    src = str(tmp_path / "docs")
+    df.write.parquet(src)
+    out = str(tmp_path / "out")
+    n = run_context_prepass(spark, src, out, _STORE)
+    assert n == 1
+    got = spark.read.parquet(out + "/context_fetch_list").collect()
+    assert got[0].context_url == _UNKNOWN_CTX and got[0].n_docs == 1

@@ -301,8 +301,11 @@ WITH docs AS (
   FROM docs
   LATERAL VIEW explode(
     CASE WHEN size(w) >= 3
-         THEN transform(sequence(0, size(w) - 3),
-                        i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))
+         THEN zip_with(slice(w, 1, size(w) - 2),
+                       zip_with(slice(w, 2, size(w) - 2),
+                                slice(w, 3, size(w) - 2),
+                                (y, z) -> concat(y, ' ', z)),
+                       (x, yz) -> concat(x, ' ', yz))
          ELSE array() END) t AS g
 )
 """

@@ -42,6 +42,25 @@ def _done_buckets(spark: SparkSession, metrics_dir: str) -> set[int]:
     return {r["bucket"] for r in rows}
 
 
+def run_context_prepass(spark: SparkSession, input_path: str,
+                        output_dir: str,
+                        context_store: dict | None = None) -> int:
+    """Pre-flight stage: scan the corpus for remote JSON-LD @context URLs
+    the offline store cannot satisfy and write the fetch-list table
+    (context_url, n_docs, sample_doc_id) under <output>/context_fetch_list.
+    An out-of-band fetcher turns that list into store entries before the
+    main run — executors never touch the network.  Returns the number of
+    unresolved context URLs found."""
+    from unfurl_spark.operators.context_prepass import context_fetch_list
+    from unfurl_spark.sources.tables import read_table
+
+    docs = read_table(spark, input_path).select("doc_id", "spans")
+    out = context_fetch_list(docs, context_store)
+    path = os.path.join(output_dir, "context_fetch_list")
+    out.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).count()
+
+
 def run_job(spark: SparkSession, input_path: str, output_dir: str,
             oembed_path: str | None = None, media_path: str | None = None,
             n_buckets: int = 16, buckets_per_job: int = 4,
@@ -136,12 +155,22 @@ def main() -> None:
                     default="broadcast",
                     help="side-table strategy: broadcast (fits executors) "
                          "or join (10^12-doc regime, no broadcast)")
+    ap.add_argument("--context-prepass", action="store_true",
+                    help="run ONLY the remote-context fetch-list pre-pass "
+                         "and exit (writes <output>/context_fetch_list)")
     ap.add_argument("--master")
     args = ap.parse_args()
 
     from unfurl_spark.operators.pipeline import session
 
     spark = session(app="unfurl_spark_driver", master=args.master)
+    if args.context_prepass:
+        n = run_context_prepass(spark, args.input, args.output)
+        print(json.dumps({"unresolved_context_urls": n,
+                          "fetch_list": os.path.join(
+                              args.output, "context_fetch_list")}))
+        spark.stop()
+        return
     summary = run_job(spark, args.input, args.output,
                       oembed_path=args.oembed, media_path=args.media,
                       n_buckets=args.buckets,
