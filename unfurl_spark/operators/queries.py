@@ -693,6 +693,83 @@ FROM documents
 """)
 
 # ---------------------------------------------------------------------------
+# AS-OF JOIN — an operator Spark lacks natively, composed scale-right:
+# union the two tagged streams, one shuffle on the key, and a running
+# last_value(IGNORE NULLS) ordered by (ts, side) carries the most recent
+# right-side row forward onto each left row.  No inequality join, no
+# BroadcastNestedLoop — the single window shuffle is the whole cost.
+# The DuckDB oracle uses its NATIVE ASOF JOIN, so two entirely different
+# algorithms must agree row-for-row.
+_q("asof_join_last_error", """
+WITH err AS (
+  SELECT user_id, ts, event_id AS err_id
+  FROM events WHERE event_type = 'error' AND user_id < 40
+), clicks AS (
+  SELECT user_id, ts, event_id
+  FROM events WHERE event_type = 'click' AND user_id < 40
+), tagged AS (
+  SELECT user_id, ts, err_id, CAST(NULL AS BIGINT) AS event_id, 0 AS side
+  FROM err
+  UNION ALL
+  SELECT user_id, ts, CAST(NULL AS BIGINT) AS err_id, event_id, 1 AS side
+  FROM clicks
+), filled AS (
+  SELECT user_id, ts, event_id, side,
+         last_value(err_id, true) OVER (
+           PARTITION BY user_id ORDER BY ts, side
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_err_id
+  FROM tagged
+)
+SELECT event_id, user_id, last_err_id
+FROM filled WHERE side = 1
+""", """
+SELECT c.event_id, c.user_id, e.err_id AS last_err_id
+FROM (SELECT user_id, ts, event_id
+      FROM events WHERE event_type = 'click' AND user_id < 40) c
+ASOF LEFT JOIN (SELECT user_id, ts, event_id AS err_id
+                FROM events WHERE event_type = 'error' AND user_id < 40) e
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+""")
+
+# RANGE JOIN — events within [anchor, anchor + 1h) per user, composed as
+# a BINNED equi-join: ranges explode into their covered hour bins, events
+# join on (user_id, hour_bin), the residual range predicate filters — the
+# plan is Generate → hash join, never an inequality BNL.  At 100 TB the
+# bin width trades explode factor against join selectivity.  The DuckDB
+# oracle runs the plain inequality join, so the binned decomposition is
+# verified against the naive semantics.
+_q("range_join_follow_events", """
+WITH anchors AS (
+  SELECT event_id AS anchor_id, user_id, ts AS t0,
+         ts + INTERVAL 1 HOUR AS t1
+  FROM events WHERE event_type = 'error' AND user_id < 40
+), bins AS (
+  SELECT anchor_id, user_id, t0, t1, b.bin
+  FROM anchors
+  LATERAL VIEW explode(sequence(date_trunc('hour', t0),
+                                date_trunc('hour', t1),
+                                INTERVAL 1 HOUR)) b AS bin
+), ev AS (
+  SELECT user_id, ts, date_trunc('hour', ts) AS bin
+  FROM events WHERE user_id < 40
+)
+SELECT b.anchor_id, count(ev.ts) AS n_follow
+FROM bins b
+LEFT JOIN ev ON ev.user_id = b.user_id AND ev.bin = b.bin
+            AND ev.ts >= b.t0 AND ev.ts < b.t1
+GROUP BY b.anchor_id
+""", """
+SELECT a.anchor_id, count(ev.ts) AS n_follow
+FROM (SELECT event_id AS anchor_id, user_id, ts AS t0,
+             ts + INTERVAL 1 HOUR AS t1
+      FROM events WHERE event_type = 'error' AND user_id < 40) a
+LEFT JOIN (SELECT user_id, ts FROM events WHERE user_id < 40) ev
+  ON ev.user_id = a.user_id AND ev.ts >= a.t0 AND ev.ts < a.t1
+GROUP BY a.anchor_id
+""")
+
+# ---------------------------------------------------------------------------
 # the composed cleaning recipe a training-data pipeline actually runs:
 # quality gate → exact-dedup keeper → per-language corpus stats.
 # Single declarative query: Catalyst fuses the gate into the scan, the
