@@ -862,6 +862,93 @@ FROM pages
 
 
 # ---------------------------------------------------------------------------
+# duplicate-cluster resolution: connected components over the LSH candidate
+# graph — the iterative step between "pairs found" and "one keeper per
+# duplicate CLUSTER" (pairwise keepers under-merge transitive duplicates).
+# Spark side: distributed min-label propagation (each round = one join +
+# one aggregate, converges in O(graph diameter) rounds — the classic
+# MapReduce CC).  Oracle: DuckDB RECURSIVE CTE transitive closure — a
+# completely different algorithm that must agree row-for-row.
+
+_CC_EDGES_SQL = (", sig AS (%s)\n"
+                 "SELECT a.doc_id AS src, b.doc_id AS dst\n"
+                 "FROM sig a JOIN sig b\n"
+                 "  ON a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id"
+                 % _MINHASH_BODY)
+
+
+def _connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    load_views(spark, sf_dir)
+    edges = spark.sql("WITH docs AS (SELECT doc_id, split(text, ' ') AS w "
+                      "FROM documents), shingles AS (SELECT doc_id, t.g "
+                      "FROM docs LATERAL VIEW explode(CASE WHEN size(w) >= 3 "
+                      "THEN zip_with(slice(w, 1, size(w) - 2), "
+                      "zip_with(slice(w, 2, size(w) - 2), "
+                      "slice(w, 3, size(w) - 2), (y, z) -> "
+                      "concat(y, ' ', z)), (x, yz) -> concat(x, ' ', yz)) "
+                      "ELSE array() END) t AS g)" + _CC_EDGES_SQL)
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    labels = (sym.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(32):  # diameter bound; real corpora converge in < 10
+        prop = (sym.join(labels, sym["dst"] == labels["node"])
+                .groupBy("src").agg(F.min("label").alias("nbr")))
+        relabeled = (labels.join(prop, labels["node"] == prop["src"], "left")
+                     .select(labels["node"],
+                             F.least(labels["label"],
+                                     F.coalesce(prop["nbr"],
+                                                labels["label"]))
+                             .alias("new_label"),
+                             labels["label"].alias("old_label"))
+                     # materialize + TRUNCATE lineage each round — without
+                     # this the plan re-derives every prior iteration and
+                     # the DAG grows exponentially (standard iterative-
+                     # algorithm hygiene; a cluster job would use
+                     # checkpoint() to reliable storage)
+                     .localCheckpoint())
+        changed = relabeled.filter(
+            F.col("new_label") < F.col("old_label")).count()
+        labels = relabeled.select(
+            "node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("component"))
+
+
+# transitive closure + min-reachable label per node
+_CC_DUCK = ("WITH RECURSIVE docs AS (\n"
+            "  SELECT doc_id, string_split(text, ' ') AS w FROM documents\n"
+            "), shingles AS (\n"
+            "  SELECT doc_id,\n"
+            "         unnest(CASE WHEN len(w) >= 3\n"
+            "                THEN list_transform(generate_series(1, len(w) - 2),\n"
+            "                     i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))\n"
+            "                ELSE CAST([] AS VARCHAR[]) END) AS g\n"
+            "  FROM docs\n"
+            ")" + _CC_EDGES_SQL.replace(
+                "SELECT a.doc_id AS src",
+                ", edges AS (SELECT a.doc_id AS src", 1).replace(
+                "AND a.doc_id < b.doc_id",
+                "AND a.doc_id < b.doc_id)", 1) + ",\n"
+            "sym AS (SELECT src, dst FROM edges\n"
+            "        UNION SELECT dst, src FROM edges),\n"
+            "walk(node, reach) AS (\n"
+            "  SELECT src, src FROM sym\n"
+            "  UNION\n"
+            "  SELECT w.node, s.dst FROM walk w JOIN sym s ON s.src = w.reach\n"
+            ")\n"
+            "SELECT node AS doc_id, min(reach) AS component\n"
+            "FROM walk GROUP BY node")
+
+QUERIES["dedup_connected_components"] = (_connected_components, _CC_DUCK)
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible: the fused extraction pipeline itself (rows-only check)
 
 def _extract_over_wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
