@@ -692,6 +692,77 @@ SELECT doc_id,
 FROM documents
 """)
 
+# exact interpolated quantiles (the deterministic twin of the sketch path:
+# at 100 TB approx_percentile serves the same query shape with bounded
+# error; the exact form is the oracle-checkable contract)
+_q("events_value_quantiles", """
+SELECT event_type,
+       round(percentile(value, 0.5), 4) AS p50,
+       round(percentile(value, 0.9), 4) AS p90,
+       round(percentile(value, 0.99), 4) AS p99,
+       count(*) AS n
+FROM events GROUP BY event_type
+""", """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99,
+       count(*) AS n
+FROM events GROUP BY event_type
+""")
+
+# PIVOT — Spark's native relational pivot operator; the oracle re-derives
+# the same shape with conditional aggregates
+_q("events_pivot_type_counts", """
+SELECT user_id,
+       coalesce(click, 0) AS n_click,
+       coalesce(view, 0) AS n_view,
+       coalesce(error, 0) AS n_error
+FROM (SELECT user_id, event_type FROM events WHERE user_id < 40)
+PIVOT (count(*) FOR event_type IN ('click' AS click, 'view' AS view,
+                                   'error' AS error))
+""", """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+FROM events WHERE user_id < 40
+GROUP BY user_id
+""")
+
+# deterministic hash sampling — reproducible corpus subsets (TABLESAMPLE is
+# engine-random; a hash gate is stable across engines, runs, and restarts)
+_q("documents_hash_sample", """
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5(CAST(doc_id AS STRING)), 1, 1) = '0'
+""", """
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+""")
+
+# multi-level rollup (hypertable-style hour→day→total aggregation in one
+# pass — GROUPING SETS shuffle once, not once per level)
+_q("events_hourly_rollup", """
+SELECT coalesce(date_format(date_trunc('day', ts), 'yyyy-MM-dd'), 'ALL')
+         AS day,
+       coalesce(CAST(hour(ts) AS BIGINT), -1) AS hr,
+       CAST(grouping(date_trunc('day', ts)) * 2
+            + grouping(hour(ts)) AS BIGINT) AS lvl,
+       count(*) AS n, round(sum(value), 2) AS total
+FROM events WHERE user_id < 40
+GROUP BY ROLLUP(date_trunc('day', ts), hour(ts))
+""", """
+SELECT coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+       coalesce(CAST(hour(ts) AS BIGINT), -1) AS hr,
+       CAST(grouping(date_trunc('day', ts)) * 2
+            + grouping(hour(ts)) AS BIGINT) AS lvl,
+       count(*) AS n, round(sum(value), 2) AS total
+FROM events WHERE user_id < 40
+GROUP BY ROLLUP(date_trunc('day', ts), hour(ts))
+""")
+
 # ---------------------------------------------------------------------------
 # AS-OF JOIN — an operator Spark lacks natively, composed scale-right:
 # union the two tagged streams, one shuffle on the key, and a running
