@@ -95,3 +95,19 @@ def test_mojibake_without_sniffing():
     raw = "Café".encode("latin-1")
     assert "Café" not in raw.decode("utf-8", "replace")
     assert decode_html(raw, "text/html; charset=latin1") == "Café"
+
+
+def test_decode_never_raises_property():
+    """Property: decode_html is total — arbitrary bytes with arbitrary
+    content-type strings decode to SOME str, never raise."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=2048),
+           st.one_of(st.none(), st.text(max_size=64)))
+    def check(data, ctype):
+        out = decode_html(data, ctype)
+        assert isinstance(out, str)
+
+    check()

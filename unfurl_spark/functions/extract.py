@@ -131,6 +131,8 @@ def jsonld_value(node) -> str | None:
 
 
 def jsonld_key(key: str, node):
+    if type(node) is dict:  # nodes are plain dicts from the expander (hot)
+        return node.get(key)
     if not isinstance(node, dict):
         return None
     return node.get(key)
@@ -347,11 +349,20 @@ def get_icon(options: dict) -> list:
 # --- C9/C10/C11 media arrays (:519-799) -------------------------------------------------------
 
 def _ogp_array(options: dict, *keys: str) -> list:
-    return jsonld_value_array(first_of(
-        _graph(options),
-        lambda x: js_or(*[
-            (lambda k: lambda: jsonld_key(k, x))(k) for k in keys]),
-    ))
+    # loop form of firstOf(graph, x => jsonLdKey(k1, x) || jsonLdKey(k2, x))
+    # — the nested-lambda version allocated 2 closures per key per node and
+    # was the hottest extract-chain call site (profiled)
+    graph = _graph(options)
+    if not isinstance(graph, list):
+        return []
+    for x in graph:
+        if type(x) is not dict:
+            continue
+        for k in keys:
+            v = x.get(k)
+            if truthy(v):
+                return jsonld_value_array(v)
+    return []
 
 
 def get_image(options: dict) -> list:
