@@ -622,16 +622,31 @@ def parse_html(html_text: str, url: str) -> dict | None:
     return result
 
 
-def parse_html_full(html_text: str, url: str, collect_content: bool = True
-                    ) -> tuple[dict | None, list]:
+# The single-pass document tokenizer (functions/tokenizer.py) produces the
+# same event stream as HTMLParser.feed+close without the incremental-feed
+# machinery; equivalence is asserted over the full fixture corpus plus
+# hypothesis markup in tests/test_fast_tokenizer.py.  Flip off to fall back
+# to the stdlib driver (UNFURL_SPARK_STDLIB_TOKENIZER=1).
+import os as _os
+
+FAST_TOKENIZER = _os.environ.get("UNFURL_SPARK_STDLIB_TOKENIZER") != "1"
+
+
+def parse_html_full(html_text: str, url: str, collect_content: bool = True,
+                    fast: bool | None = None) -> tuple[dict | None, list]:
     """One pass → (Result dict | None, content blocks).  Blocks are
     (text, link_chars, in_boilerplate_container) triples for the
     body_text classifier (functions/content.py)."""
     handler = MetaHandler(url, collect_content=collect_content)
     handler._pending_text = []
+    use_fast = FAST_TOKENIZER if fast is None else fast
     try:
-        handler.feed(html_text)
-        handler.close()
+        if use_fast:
+            from .tokenizer import drive
+            drive(handler, html_text)
+        else:
+            handler.feed(html_text)
+            handler.close()
     except Exception:
         return None, []
     return handler.finalize(), handler.blocks
