@@ -1,0 +1,248 @@
+"""Pure-codec unit tests (no Spark): round-trips for every format,
+plus spec-path fixtures the round-trip alone can't reach — PNG filter
+types 1-4 and Adam7 interlace are checked against an independent
+per-pixel reference unfilter written directly from the T.81/PNG specs,
+so a shared bug in the vectorized path can't hide."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from unfurl_spark.functions import codecs as C
+from unfurl_spark.functions import jpegc as J
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def _png_from_raw(w, h, ctype, depth, raw, extra=b"", interlace=0):
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + extra
+            + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+
+
+def _ref_unfilter(raw, h, stride, bpp):
+    """Straight-from-spec scalar unfilter — the independent oracle."""
+    out = []
+    prev = [0] * stride
+    pos = 0
+    for _ in range(h):
+        ft = raw[pos]
+        line = list(raw[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 1:
+                line[i] = (line[i] + a) & 0xFF
+            elif ft == 2:
+                line[i] = (line[i] + b) & 0xFF
+            elif ft == 3:
+                line[i] = (line[i] + ((a + b) >> 1)) & 0xFF
+            elif ft == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        out.append(line)
+        prev = line
+    return np.array(out, np.uint8)
+
+
+def test_png_roundtrip_all_channel_counts():
+    rng = np.random.default_rng(1)
+    for c in (1, 2, 3, 4):
+        img = rng.integers(0, 256, (13, 17, c), dtype=np.uint8)
+        assert (C.decode_png(C.encode_png(img)) == img).all()
+
+
+def test_png_all_filter_types_vs_reference():
+    rng = np.random.default_rng(2)
+    w, h, c = 11, 9, 3
+    stride = w * c
+    raw = bytearray()
+    for y in range(h):
+        raw.append(y % 5)  # cycle through every filter type
+        raw += bytes(rng.integers(0, 256, stride, dtype=np.uint8))
+    expect = _ref_unfilter(bytes(raw), h, stride, c).reshape(h, w, c)
+    got = C.decode_png(_png_from_raw(w, h, 2, 8, bytes(raw)))
+    assert (got == expect).all()
+
+
+def test_png_adam7_interlace():
+    # build pass-ordered raw data for a known image, filter 0 everywhere
+    rng = np.random.default_rng(3)
+    w, h, c = 10, 7, 3
+    img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+    raw = bytearray()
+    for x0, y0, dx, dy in C._ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw.append(0)
+            raw += row.tobytes()
+    got = C.decode_png(_png_from_raw(w, h, 2, 8, bytes(raw), interlace=1))
+    assert (got == img).all()
+
+
+def test_png_palette_with_transparency():
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R,G,B entries
+    raw = b"\x00\x00\x01\x02\x00\x01\x02"[:0]  # built below
+    rows = [b"\x00" + bytes([0, 1, 2]), b"\x00" + bytes([2, 1, 0])]
+    raw = b"".join(rows)
+    png = _png_from_raw(3, 2, 3, 8, raw,
+                        extra=_chunk(b"PLTE", pal) + _chunk(b"tRNS",
+                                                            bytes([128])))
+    got = C.decode_png(png)
+    assert got.shape == (2, 3, 4)
+    assert tuple(got[0, 0]) == (255, 0, 0, 128)  # entry 0 translucent
+    assert tuple(got[0, 1]) == (0, 255, 0, 255)
+    assert tuple(got[1, 0]) == (0, 0, 255, 255)
+
+
+def test_png_sub_byte_and_16bit_depths():
+    # 1-bit gray, 6px wide: bits 101101 → 255,0,255,255,0,255
+    raw = b"\x00" + bytes([0b10110100])
+    got = C.decode_png(_png_from_raw(6, 1, 0, 1, raw))
+    assert got.reshape(-1).tolist() == [255, 0, 255, 255, 0, 255]
+    # 16-bit gray: MSB survives
+    raw16 = b"\x00" + struct.pack(">HHH", 0xFF00, 0x1234, 0x0001)
+    got16 = C.decode_png(_png_from_raw(3, 1, 0, 16, raw16))
+    assert got16.reshape(-1).tolist() == [0xFF, 0x12, 0x00]
+
+
+def test_png_header_only_rejected():
+    from unfurl_spark.sources.synthetic import _png_bytes
+    full = _png_bytes(20, 10)
+    img = C.decode_png(full)
+    assert img.shape == (10, 20, 3)
+    # strip IDAT → CodecError, not a fake success
+    ihdr_only = full[:33] + full[-12:]
+    with pytest.raises(C.CodecError):
+        C.decode_png(ihdr_only)
+
+
+def test_gif_roundtrip_and_interlace():
+    rng = np.random.default_rng(4)
+    img = (rng.integers(0, 5, (9, 11, 1)) * 50).astype(np.uint8)
+    img3 = np.repeat(img, 3, axis=2)
+    assert (C.decode_gif(C.encode_gif(img3)) == img3).all()
+    # interlace: permute rows of a known encode per the GIF row order
+    enc = bytearray(C.encode_gif(img3))
+    # flip the interlace bit in the image descriptor and reorder pixels
+    # by re-encoding manually
+    h, w = img.shape[:2]
+    order = (list(range(0, h, 8)) + list(range(4, h, 8))
+             + list(range(2, h, 4)) + list(range(1, h, 2)))
+    shuffled = img3[order]
+    enc2 = bytearray(C.encode_gif(shuffled))
+    # set interlace flag on the image descriptor of enc2
+    idesc = enc2.index(0x2C, 13)
+    enc2[idesc + 9] |= 0x40
+    assert (C.decode_gif(bytes(enc2)) == img3).all()
+
+
+def test_gif_lzw_code_width_growth():
+    # >256 pixel runs force code-size growth past 9 bits
+    rng = np.random.default_rng(5)
+    img = (rng.integers(0, 256, (32, 40, 1))).astype(np.uint8)
+    img3 = np.repeat(img // 2, 3, axis=2)  # ≤128 distinct values
+    assert (C.decode_gif(C.encode_gif(img3)) == img3).all()
+
+
+def test_bmp_topdown_and_bottom_up():
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (6, 4, 3), dtype=np.uint8)
+    enc = C.encode_bmp(img)
+    assert (C.decode_bmp(enc) == img).all()
+    # negative height = top-down; flip stored rows to compensate
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = enc[54:]
+    rows = [body[i * stride:(i + 1) * stride] for i in range(h)]
+    td = (enc[:22] + struct.pack("<i", -h) + enc[26:54]
+          + b"".join(reversed(rows)))
+    assert (C.decode_bmp(td) == img).all()
+
+
+def test_ppm_comments_and_gray():
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+    data = b"P5 # cmt\n4 3 255\n" + img.tobytes()
+    assert (C.decode_ppm(data) == img).all()
+
+
+def test_wav_8bit_and_16bit():
+    rng = np.random.default_rng(7)
+    s16 = rng.integers(-30000, 30000, (64, 2)).astype(np.int16)
+    rate, out = C.decode_wav(C.encode_wav(22050, s16))
+    assert rate == 22050 and (out == s16).all()
+    # 8-bit unsigned mono
+    u8 = bytes(range(64))
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    wav = (b"RIFF" + struct.pack("<I", 36 + 64) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", 64) + u8)
+    rate, out = C.decode_wav(wav)
+    assert rate == 8000 and out.shape == (64, 1)
+    assert out[0, 0] == -32768 and out[32, 0] == (32 - 128) << 8
+
+
+@pytest.mark.parametrize("kw", [{}, {"subsample": True},
+                                {"restart_interval": 2},
+                                {"subsample": True, "restart_interval": 3}])
+def test_jpeg_roundtrip_variants(kw):
+    yy, xx = np.mgrid[0:37, 0:53]
+    img = np.dstack([(xx * 4) % 256, (yy * 5) % 256,
+                     ((xx + yy) * 3) % 256]).astype(np.uint8)
+    dec = J.decode_jpeg(J.encode_jpeg(img, quality=92, **kw))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int)).mean()
+    assert err < (8 if kw.get("subsample") else 4), (kw, err)
+
+
+def test_jpeg_grayscale_and_high_detail():
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (24, 24, 1), dtype=np.uint8)
+    dec = J.decode_jpeg(J.encode_jpeg(img, quality=95))
+    assert dec.shape == img.shape
+    # white noise at q95 keeps structure loosely (lossy bound only)
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 30
+
+
+def test_jpeg_dct_spec_orientation():
+    """A single horizontal-frequency coefficient must decode to a
+    pattern varying along x — catches a transposed (round-trip-
+    consistent but non-conformant) DCT pair."""
+    ct = J._DCT_C
+    X = np.zeros((8, 8))
+    X[0, 1] = 100.0
+    px = ct @ X @ ct.T  # the decoder's IDCT expression
+    assert np.allclose(px, px[0:1, :], atol=1e-9)  # rows identical
+    assert abs(px[0, 0] - px[0, 7]) > 1  # columns vary
+
+
+def test_jpeg_progressive_rejected():
+    img = np.zeros((8, 8, 1), np.uint8)
+    enc = bytearray(J.encode_jpeg(img))
+    i = enc.index(b"\xFF\xC0")
+    enc[i + 1] = 0xC2
+    with pytest.raises(C.CodecUnavailable):
+        J.decode_jpeg(bytes(enc))
+
+
+def test_resize_area_preserves_mean_and_solid():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (64, 48, 3), dtype=np.uint8)
+    small = C.resize_area(img, 16, 12)
+    assert small.shape == (12, 16, 3)
+    assert abs(float(small.mean()) - float(img.mean())) < 3
+    solid = np.full((33, 17, 3), 77, np.uint8)
+    assert (C.resize_area(solid, 5, 9) == 77).all()
+    up = C.resize_area(solid, 40, 40)
+    assert up.shape == (40, 40, 3) and (up == 77).all()

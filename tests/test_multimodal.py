@@ -1,9 +1,20 @@
-"""Multimodal operator plumbing: schemas, determinism, 1→N batch shape,
-and the explicit codec-stub boundary (decode_pixels raises)."""
+"""Multimodal operators: real codec decode (PNG/JPEG/GIF/BMP/PPM/WAV),
+real thumbnail resize + content features, the explicit codec boundary
+for containers needing external codecs, and the Arrow plumbing."""
 
+import numpy as np
 import pytest
-from pyspark.sql import functions as F
+from pyspark.sql import Row
 
+from unfurl_spark.functions.codecs import (
+    CodecUnavailable,
+    encode_bmp,
+    encode_gif,
+    encode_png,
+    encode_ppm,
+    encode_wav,
+)
+from unfurl_spark.functions.jpegc import encode_jpeg
 from unfurl_spark.functions.multimodal import (
     decode_media,
     decode_pixels,
@@ -21,24 +32,94 @@ def media(spark, tmp_path_factory):
     return spark.read.parquet(corpus["media_payloads"])
 
 
-def test_decode_pixels_is_marked_stub():
-    with pytest.raises(NotImplementedError):
-        decode_pixels(b"\x89PNG", "png")
+@pytest.fixture(scope="module")
+def mixed(spark):
+    """One payload per codec family, incl. an undecodable container."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    flat = (rng.integers(0, 4, (24, 32, 3)) * 80).astype(np.uint8)
+    wav = encode_wav(8000, rng.integers(-2000, 2000, 500).astype(np.int16))
+    webp = b"RIFF" + b"\x00" * 4 + b"WEBPVP8 " + b"\x00" * 40
+    rows = [
+        Row(media_ref="a.png", ctype="image/png", payload=encode_png(img)),
+        Row(media_ref="a.jpg", ctype="image/jpeg",
+            payload=encode_jpeg(img, quality=90)),
+        Row(media_ref="a.gif", ctype="image/gif", payload=encode_gif(flat)),
+        Row(media_ref="a.bmp", ctype="image/bmp", payload=encode_bmp(img)),
+        Row(media_ref="a.ppm", ctype="image/x-ppm",
+            payload=encode_ppm(img)),
+        Row(media_ref="a.wav", ctype="audio/wav", payload=wav),
+        Row(media_ref="a.webp", ctype="image/webp", payload=webp),
+        Row(media_ref="bad.png", ctype="image/png",
+            payload=b"\x89PNG\r\n\x1a\njunk"),
+    ]
+    return spark.createDataFrame(rows)
 
 
-def test_decode_media_real_headers(spark, media):
+def test_decode_pixels_real_and_bounded():
+    img = np.arange(12 * 9 * 3, dtype=np.uint8).reshape(12, 9, 3)
+    out = decode_pixels(encode_png(img), "png")
+    assert (out == img).all()
+    with pytest.raises(CodecUnavailable):
+        decode_pixels(b"\x00" * 64, "webm")
+
+
+def test_decode_media_real_pixels_on_corpus(spark, media):
     res = decode_media(media, num_partitions=4)
     assert res.columns == ["media_ref", "container", "width", "height",
                            "n_bytes", "ok"]
     rows = res.collect()
     assert len(rows) == media.count()
-    # every payload the generator writes carries a real container header
-    by_container = {r["container"] for r in rows}
-    assert by_container & {"png", "jpeg", "webp", "pdf"}
-    imgs = [r for r in rows if r["container"] in ("png", "jpeg", "webp")]
-    assert imgs and all(r["width"] and r["height"] for r in imgs)
-    # the codec boundary is visible in lineage, not silently faked
-    assert all(r["ok"] == "stub:NotImplementedError" for r in rows)
+    pngs = [r for r in rows if r["container"] == "png"]
+    # corpus PNGs are real images now: decoded, dims agree with header
+    assert pngs and all(r["ok"] == "ok" for r in pngs)
+    assert all(r["width"] and r["height"] for r in pngs)
+    # PDFs have no pixel codec — boundary visible in lineage
+    pdfs = [r for r in rows if r["media_ref"].endswith(".pdf")]
+    assert all(r["ok"] == "codec:unavailable" for r in pdfs)
+
+
+def test_decode_media_mixed_containers(spark, mixed):
+    got = {r["media_ref"]: r
+           for r in decode_media(mixed, num_partitions=2).collect()}
+    for ref in ("a.png", "a.jpg", "a.gif", "a.bmp", "a.ppm"):
+        assert got[ref]["ok"] == "ok", (ref, got[ref]["ok"])
+        assert (got[ref]["width"], got[ref]["height"]) == (32, 24), ref
+    assert got["a.wav"]["ok"] == "ok"
+    assert got["a.webp"]["ok"] == "codec:unavailable"
+    assert got["bad.png"]["ok"].startswith("err:")
+
+
+def test_resize_real_thumbnail(spark):
+    solid = np.full((40, 40, 3), 200, np.uint8)
+    df = spark.createDataFrame(
+        [Row(media_ref="solid.png", payload=encode_png(solid)),
+         Row(media_ref="opaque.bin", payload=b"\x00" * 100)])
+    rows = {r["media_ref"]: r
+            for r in resize_images(df, width=8, height=8).collect()}
+    real = rows["solid.png"]
+    assert real["ok"] == "ok"
+    px = np.frombuffer(bytes(real["payload"]), np.uint8)
+    assert len(px) == 8 * 8 * 3 and (px == 200).all()
+    fake = rows["opaque.bin"]
+    assert fake["ok"] == "codec:unavailable"
+    assert len(fake["payload"]) == 8 * 8 * 3
+
+
+def test_extract_features_real_content(spark):
+    dark = np.full((16, 16, 3), 10, np.uint8)
+    light = np.full((16, 16, 3), 245, np.uint8)
+    df = spark.createDataFrame(
+        [Row(media_ref="dark.png", payload=encode_png(dark)),
+         Row(media_ref="light.png", payload=encode_png(light))])
+    got = {r["media_ref"]: r["embedding"]
+           for r in extract_features(df, dim=16).collect()}
+    # first three slots are channel means — real content, not hash noise
+    assert got["dark.png"][0] < 0.1 < 0.8 < got["light.png"][0] * 10
+    assert got["light.png"][0] > got["dark.png"][0]
+    for v in got.values():
+        assert len(v) == 16
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-4
 
 
 def test_extract_features_deterministic_unit_norm(spark, media):
@@ -49,14 +130,15 @@ def test_extract_features_deterministic_unit_norm(spark, media):
     assert a == b  # stable across runs/workers
     v = next(iter(a.values()))
     assert len(v) == 16
-    assert abs(sum(x * x for x in v) - 1.0) < 1e-5
+    assert abs(sum(x * x for x in v) - 1.0) < 1e-4
 
 
 def test_resize_fixed_buffer(spark, media):
     res = resize_images(media.limit(10), width=8, height=8)
     rows = res.collect()
     assert all(len(r["payload"]) == 8 * 8 * 3 for r in rows)
-    assert all(r["ok"] == "stub:NotImplementedError" for r in rows)
+    # corpus mixes decodable PNGs with codec-less PDFs — both total
+    assert {r["ok"] for r in rows} <= {"ok", "codec:unavailable"}
 
 
 def test_sample_frames_one_to_n(spark, media):
@@ -66,8 +148,9 @@ def test_sample_frames_one_to_n(spark, media):
     rows = res.collect()
     assert len(rows) == n_media * 3
     per = [r for r in rows if r["media_ref"] == rows[0]["media_ref"]]
-    assert [r["frame_index"] for r in sorted(per, key=lambda r: r["frame_index"])] == [0, 1, 2]
-    assert [r["frame_ts_ms"] for r in sorted(per, key=lambda r: r["frame_index"])] == [0, 500, 1000]
+    per.sort(key=lambda r: r["frame_index"])
+    assert [r["frame_index"] for r in per] == [0, 1, 2]
+    assert [r["frame_ts_ms"] for r in per] == [0, 500, 1000]
     # frames differ from each other but are deterministic
     assert len({bytes(r["payload"]) for r in per}) == 3
 

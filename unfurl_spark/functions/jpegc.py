@@ -1,0 +1,496 @@
+"""Baseline JPEG codec (ITU-T T.81 sequential DCT) in stdlib + numpy.
+
+Decoder: marker parse → Huffman entropy decode (with byte stuffing and
+restart markers) → dequantize → vectorized numpy IDCT → chroma
+upsample → YCbCr→RGB.  Handles SOF0/SOF1, 4:4:4 / 4:2:2 / 4:2:0
+sampling, DRI restarts.  Progressive (SOF2) and arithmetic coding raise
+``CodecUnavailable`` — they are rare in web corpora and out of scope.
+
+Encoder (test-fixture use): 4:4:4, Annex K quantization + Huffman
+tables, no restarts.  Encoder and decoder are independent walks of the
+spec (canonical table constants from T.81 Annex K), so a round-trip
+test exercises both directions of the entropy coder and the DCT pair.
+
+The reference never decodes JPEG essence — its exif plugin stops at
+metadata (packages/unfurl-exif/src/index.ts:16-47).  This module exists
+for the training-data side: pixel features and thumbnails at scale.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .codecs import CodecError, CodecUnavailable
+
+# zigzag order: index i holds the raster position of the i-th scanned coeff
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+# T.81 Annex K.1 — luminance / chrominance quantization tables
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99])
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99])
+
+# T.81 Annex K.3 — canonical Huffman table specs: (bits[1..16], values)
+HT_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+              list(range(12)))
+HT_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                list(range(12)))
+HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+# orthonormal 8-point DCT-II basis: IDCT is  C.T @ X @ C
+_N = np.arange(8)
+_DCT_C = np.cos((2 * _N[:, None] + 1) * _N[None, :] * np.pi / 16) / 2
+_DCT_C[:, 0] /= np.sqrt(2)
+
+
+def _canonical_codes(bits: list[int], values: list[int]
+                     ) -> dict[tuple[int, int], int]:
+    """(code_length, code) → symbol, per T.81 C.2 canonical assignment."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 de-stuffing;
+    stops at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d, p = self.data, self.pos
+        if p >= len(d):
+            raise CodecError("jpeg: truncated entropy data")
+        byte = d[p]
+        if byte == 0xFF:
+            nxt = d[p + 1] if p + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos = p + 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise CodecError("jpeg: unconsumed restart marker")
+            else:  # EOI/next segment: pad with 1-bits per spec
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos = p + 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self) -> None:
+        """Discard partial byte and consume an RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        d, p = self.data, self.pos
+        while p + 1 < len(d) and not (d[p] == 0xFF
+                                      and 0xD0 <= d[p + 1] <= 0xD7):
+            p += 1
+        if p + 1 >= len(d):
+            raise CodecError("jpeg: missing restart marker")
+        self.pos = p + 2
+
+    def decode_huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise CodecError("jpeg: bad Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.12 sign extension of a t-bit magnitude."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    if data[:2] != b"\xFF\xD8":
+        raise CodecError("jpeg: bad signature")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}  # (class, id) → code table
+    frame = None  # (w, h, comps)
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise CodecError("jpeg: marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = data[pos + 4:pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 15
+                i += 1
+                if prec:
+                    qtables[tid] = np.frombuffer(
+                        body[i:i + 128], ">u2").astype(np.int32)
+                    i += 128
+                else:
+                    qtables[tid] = np.frombuffer(
+                        body[i:i + 64], np.uint8).astype(np.int32)
+                    i += 64
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tclass, tid = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1:i + 17])
+                nval = sum(bits)
+                values = list(body[i + 17:i + 17 + nval])
+                htables[(tclass, tid)] = _canonical_codes(bits, values)
+                i += 17 + nval
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline/extended seq
+            _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            comps = []
+            for ci in range(nc):
+                cid, sampling, qid = body[6 + 3 * ci:9 + 3 * ci]
+                comps.append({"id": cid, "h": sampling >> 4,
+                              "v": sampling & 15, "q": qid})
+            frame = (w, h, comps)
+        elif marker == 0xC2:
+            raise CodecUnavailable("jpeg: progressive (SOF2)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise CodecUnavailable(f"jpeg: SOF{marker - 0xC0} unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise CodecError("jpeg: SOS before SOF")
+            ns = body[0]
+            scan = []
+            for si in range(ns):
+                cid, tids = body[1 + 2 * si], body[2 + 2 * si]
+                scan.append((cid, tids >> 4, tids & 15))
+            return _decode_scan(data, pos + 2 + seg_len, frame, scan,
+                                qtables, htables, restart_interval)
+        pos += 2 + seg_len
+    raise CodecError("jpeg: no scan data")
+
+
+def _decode_scan(data, pos, frame, scan, qtables, htables,
+                 restart_interval) -> np.ndarray:
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    by_id = {c["id"]: c for c in comps}
+    for cid, dc_id, ac_id in scan:
+        c = by_id[cid]
+        c["dc_t"] = htables[(0, dc_id)]
+        c["ac_t"] = htables[(1, ac_id)]
+        c["qt"] = qtables[c["q"]]
+        c["pw"] = mcux * c["h"] * 8
+        c["ph"] = mcuy * c["v"] * 8
+        c["plane"] = np.zeros((c["ph"], c["pw"]), np.float32)
+        c["pred"] = 0
+
+    reader = _BitReader(data, pos)
+    mcu_count = 0
+    ct = _DCT_C.astype(np.float32)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (restart_interval and mcu_count
+                    and mcu_count % restart_interval == 0):
+                reader.align_restart()
+                for c in comps:
+                    c["pred"] = 0
+            for c in comps:
+                for bv in range(c["v"]):
+                    for bh in range(c["h"]):
+                        coeffs = np.zeros(64, np.int32)
+                        t = reader.decode_huff(c["dc_t"])
+                        diff = _extend(reader.read_bits(t), t)
+                        c["pred"] += diff
+                        coeffs[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_huff(c["ac_t"])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise CodecError("jpeg: AC index overflow")
+                            coeffs[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        block = np.zeros(64, np.float32)
+                        block[ZIGZAG] = coeffs * c["qt"][np.arange(64)]
+                        # IDCT: x = M.T X M with M the orthonormal DCT
+                        # basis; _DCT_C == M.T
+                        px = ct @ block.reshape(8, 8) @ ct.T
+                        y0 = (my * c["v"] + bv) * 8
+                        x0 = (mx * c["h"] + bh) * 8
+                        c["plane"][y0:y0 + 8, x0:x0 + 8] = px
+            mcu_count += 1
+
+    planes = []
+    for c in comps:
+        p = c["plane"] + 128.0
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        planes.append(p[:h, :w])
+    if len(planes) == 1:
+        return np.clip(planes[0], 0, 255).astype(np.uint8)[:, :, None]
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# encoder (4:4:4, Annex K tables, quality via linear scale)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _encode_codes(bits, values) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) — inverse of the decoder's table."""
+    inv = {}
+    for (length, code), sym in _canonical_codes(bits, values).items():
+        inv[sym] = (code, length)
+    return inv
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """→ (category t, t-bit encoding of v) per T.81 F.1.2.1."""
+    t = int(v != 0 and int(abs(v)).bit_length())
+    return t, (v if v >= 0 else v + (1 << t) - 1)
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85,
+                subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """Baseline encoder.  ``subsample=True`` emits 4:2:0 (luma 2×2 per
+    MCU, chroma box-filtered 2×); ``restart_interval`` emits DRI + RSTn
+    markers every N MCUs — both exist chiefly so the decoder's
+    upsample/restart paths have independent fixtures."""
+    img = np.atleast_3d(img.astype(np.uint8))
+    h, w, c = img.shape
+    if c == 4:
+        img = img[:, :, :3]
+        c = 3
+    scale = (5000 // quality if quality < 50 else 200 - 2 * quality) or 1
+    qts = []
+    for base in ((QT_LUMA,) if c == 1 else (QT_LUMA, QT_CHROMA)):
+        qts.append(np.clip((base * scale + 50) // 100, 1, 255))
+
+    if c == 1:
+        planes = [img[:, :, 0].astype(np.float32) - 128.0]
+    else:
+        rf = img.astype(np.float32)
+        r, g, b = rf[:, :, 0], rf[:, :, 1], rf[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y, cb, cr]
+    nc = len(planes)
+    sub = subsample and nc == 3
+    # per-component (h_factor, v_factor)
+    factors = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * nc
+    if sub:
+        # box-filter chroma 2× (pad odd dims by edge replication first)
+        def down2(p: np.ndarray) -> np.ndarray:
+            ph = p if p.shape[0] % 2 == 0 else np.vstack([p, p[-1:]])
+            ph = ph if ph.shape[1] % 2 == 0 else np.hstack([ph, ph[:, -1:]])
+            return (ph[0::2, 0::2] + ph[1::2, 0::2]
+                    + ph[0::2, 1::2] + ph[1::2, 1::2]) / 4.0
+        planes = [planes[0], down2(planes[1]), down2(planes[2])]
+
+    out = bytearray(b"\xFF\xD8")
+    for tid, qt in enumerate(qts):
+        out += (b"\xFF\xDB" + struct.pack(">HB", 67, tid)
+                + qt[ZIGZAG].astype(np.uint8).tobytes())
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xFF\xC0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        hi, vi = factors[ci]
+        out += bytes([ci + 1, (hi << 4) | vi,
+                      min(ci, 1) if nc > 1 else 0])
+    specs = [HT_DC_LUMA, HT_AC_LUMA] + (
+        [HT_DC_CHROMA, HT_AC_CHROMA] if nc > 1 else [])
+    classes = [(0, 0), (1, 0)] + ([(0, 1), (1, 1)] if nc > 1 else [])
+    for (tclass, tid), (bits, values) in zip(classes, specs):
+        out += b"\xFF\xC4" + struct.pack(
+            ">HB", 19 + len(values), (tclass << 4) | tid)
+        out += bytes(bits) + bytes(values)
+    out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        tid = min(ci, 1) if nc > 1 else 0
+        out += bytes([ci + 1, (tid << 4) | tid])
+    out += b"\x00\x3F\x00"
+
+    dc_tabs = [_encode_codes(*HT_DC_LUMA)]
+    ac_tabs = [_encode_codes(*HT_AC_LUMA)]
+    if nc > 1:
+        dc_tabs.append(_encode_codes(*HT_DC_CHROMA))
+        ac_tabs.append(_encode_codes(*HT_AC_CHROMA))
+
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    ct = _DCT_C.astype(np.float32)
+    padded = []
+    for ci, p in enumerate(planes):
+        hi, vi = factors[ci]
+        pw, ph = mcux * hi * 8, mcuy * vi * 8
+        pp = np.zeros((ph, pw), np.float32)
+        sh, sw = p.shape
+        pp[:sh, :sw] = p
+        pp[sh:, :sw] = p[-1:, :]
+        pp[:, sw:] = pp[:, sw - 1:sw]
+        padded.append(pp)
+
+    bw = _BitWriter()
+    preds = [0] * nc
+    rst = 0
+    mcu_count = 0
+
+    def encode_block(ti: int, block: np.ndarray, ci: int) -> None:
+        coeffs = ct.T @ block @ ct  # FDCT: X = M x M.T
+        q = np.round(coeffs.reshape(64)[ZIGZAG]
+                     / qts[ti][ZIGZAG]).astype(np.int64)
+        diff = int(q[0]) - preds[ci]
+        preds[ci] = int(q[0])
+        t, enc = _magnitude(diff)
+        code, ln = dc_tabs[ti][t]
+        bw.write(code, ln)
+        if t:
+            bw.write(enc, t)
+        run = 0
+        for k in range(1, 64):
+            v = int(q[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                zcode, zln = ac_tabs[ti][0xF0]
+                bw.write(zcode, zln)
+                run -= 16
+            t, enc = _magnitude(v)
+            code, ln = ac_tabs[ti][(run << 4) | t]
+            bw.write(code, ln)
+            bw.write(enc, t)
+            run = 0
+        if run:
+            code, ln = ac_tabs[ti][0x00]
+            bw.write(code, ln)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (restart_interval and mcu_count
+                    and mcu_count % restart_interval == 0):
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                preds = [0] * nc
+            for ci in range(nc):
+                hi, vi = factors[ci]
+                ti = min(ci, 1) if nc > 1 else 0
+                for bv in range(vi):
+                    for bh_ in range(hi):
+                        y0 = (my * vi + bv) * 8
+                        x0 = (mx * hi + bh_) * 8
+                        encode_block(
+                            ti, padded[ci][y0:y0 + 8, x0:x0 + 8], ci)
+            mcu_count += 1
+    bw.flush()
+    return bytes(out) + bytes(bw.out) + b"\xFF\xD9"

@@ -231,12 +231,23 @@ def _sniff(data: bytes) -> str | None:
         return "jpeg"
     if data.startswith(b"\x89PNG\r\n\x1a\n"):
         return "png"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return "webp"
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
+    if data[:2] == b"BM" and len(data) > 54:
+        return "bmp"
+    if data[:2] in (b"P5", b"P6") and len(data) > 2 and \
+            (data[2:3].isspace() or data[2:3] == b"#"):
+        return "ppm"
     if len(data) > 12 and data[4:8] == b"ftyp":
         return "mp4"
     if data[:4] == b"\x1aE\xdf\xa3":
         return "webm"
+    if data[:5] == b"%PDF-":
+        return "pdf"
     return None
 
 

@@ -8,13 +8,14 @@ and extends it with the operations a training-data pipeline needs over
 image/audio/video payloads at 100 TB.
 
 Spark-side plumbing (schemas, salt partitioning, Arrow batch shape,
-byte caps) is REAL and tested.  Full pixel/sample decode requires
-image/audio codecs that are not installed in this environment, so the
-decode kernel is a clearly-marked STUB: container metadata comes from
-the real header parsers in ``media.py``; pixel-level outputs are a
-deterministic fake derived from the payload hash (stable across runs
-and workers, so downstream tests are exact), and ``decode_pixels``
-raises ``NotImplementedError`` to mark the codec boundary.
+byte caps) is real and tested, and so is the pixel path for the
+formats the pure-stdlib codecs in ``codecs.py``/``jpegc.py`` cover:
+PNG, baseline JPEG, GIF, BMP, PPM images and PCM WAV audio decode to
+real pixels/samples, feed a real box-filter resize and real feature
+statistics.  Formats whose essence needs an out-of-container codec
+(WebP VP8, MP4/H.264, WebM, MP3) raise ``CodecUnavailable`` and fall
+back to a deterministic payload-hash fake — the honest boundary in
+this environment, visible per-row in the ``ok`` lineage column.
 
 All operators are Arrow-batched via ``mapInArrow`` — no per-row Python
 UDFs, payloads cross as Arrow binary buffers (zero-copy from the JVM).
@@ -29,6 +30,17 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .codecs import (
+    CodecError,
+    CodecUnavailable,
+    decode_bmp,
+    decode_gif,
+    decode_png,
+    decode_ppm,
+    decode_wav,
+    resize_area,
+)
+from .jpegc import decode_jpeg
 from .media import _png_info, _sniff, _webp_info, mp4_metadata
 
 # cap payload bytes entering Python — headers live in the prefix (the
@@ -44,12 +56,29 @@ FRAME_SCHEMA = ("media_ref string, frame_index int, frame_ts_ms long, "
                 "payload binary")
 
 
+_DECODERS = {
+    "png": decode_png,
+    "jpeg": decode_jpeg,
+    "gif": decode_gif,
+    "bmp": decode_bmp,
+    "ppm": decode_ppm,
+}
+
+
 def decode_pixels(payload: bytes, container: str):
-    """The codec boundary.  A real deployment plugs Pillow/ffmpeg in
-    here; this environment has neither, so the boundary is explicit."""
-    raise NotImplementedError(
-        "pixel/sample decode requires an image/audio codec library "
-        "(not installed); deterministic fake used instead")
+    """Decode a payload to pixels (images → HxWxC uint8 ndarray) or
+    samples (wav → (rate, int16[n, ch])).  Pure stdlib+numpy codecs;
+    containers needing an external codec (WebP VP8, MP4/H.264, WebM,
+    MP3/AAC) raise ``CodecUnavailable`` — the explicit boundary a real
+    deployment closes by plugging Pillow/ffmpeg into ``_DECODERS``."""
+    dec = _DECODERS.get(container)
+    if dec is not None:
+        return dec(payload)
+    if container == "wav":
+        return decode_wav(payload)
+    raise CodecUnavailable(
+        f"container {container!r} needs an external codec "
+        "(not installed in this environment)")
 
 
 def _fake_pixels(media_ref: str, payload: bytes, n: int) -> bytes:
@@ -102,9 +131,13 @@ def decode_media(df: DataFrame,
                  num_partitions: int | None = None) -> DataFrame:
     """(media_ref, ctype, payload) → container + dimensions + lineage.
 
-    Header metadata is real (magic-byte sniff + PNG/WebP/JPEG header
-    walk); anything needing a codec records ok='stub:NotImplementedError'.
-    """
+    Header metadata (sniff + PNG/WebP/JPEG/MP4 header walk) is always
+    read from the capped prefix.  When the full payload fits under the
+    cap, the real codec runs and ``ok`` records the outcome:
+    ``ok`` (decoded), ``codec:unavailable`` (container essence needs an
+    external codec), ``err:*`` (malformed), or ``capped:header-only``
+    (payload larger than the cap — a full-decode pass would re-read it
+    uncapped)."""
     capped = df.select(
         "media_ref",
         F.substring("payload", 1, HEADER_BYTE_CAP).alias("head"),
@@ -118,15 +151,22 @@ def decode_media(df: DataFrame,
             heads = batch.column(1).to_pylist()
             sizes = batch.column(2).to_pylist()
             containers, widths, heights, oks = [], [], [], []
-            for ref, head, _n in zip(refs, heads, sizes):
+            for ref, head, n in zip(refs, heads, sizes):
                 data = head or b""
                 c = _sniff(data)
                 w, h = _dims(c, data)
-                try:
-                    decode_pixels(data, c or "unknown")
-                    ok = "ok"
-                except NotImplementedError:
-                    ok = "stub:NotImplementedError"
+                if n > len(data):
+                    ok = "capped:header-only"
+                else:
+                    try:
+                        px = decode_pixels(data, c or "unknown")
+                        ok = "ok"
+                        if w is None and hasattr(px, "shape"):
+                            h, w = int(px.shape[0]), int(px.shape[1])
+                    except CodecUnavailable:
+                        ok = "codec:unavailable"
+                    except Exception as exc:  # malformed payload
+                        ok = f"err:{type(exc).__name__}"
                 containers.append(c)
                 widths.append(w)
                 heights.append(h)
@@ -148,47 +188,80 @@ def extract_features(df: DataFrame, dim: int = 64,
                      num_partitions: int | None = None) -> DataFrame:
     """(media_ref, payload) → dense float feature vector.
 
-    Plumbing real (Arrow batches, fixed-dim array<float> schema);
-    the feature math is the deterministic stub (payload-hash pixels →
-    byte histogram → L2-normalized), since real embeddings need a
-    vision model.
+    Decodable payloads get REAL content features: per-channel
+    mean/std + a luminance histogram for images, amplitude stats + a
+    sample histogram for PCM audio — L2-normalized to `dim` floats.
+    Codec-unavailable containers fall back to the deterministic
+    payload-hash fake (stable across runs/workers), so the column is
+    total either way.
     """
-    capped = df.select(
-        "media_ref", F.substring("payload", 1, 4096).alias("head"))
+    full = df.select("media_ref", "payload")
 
     def run(batches: Iterator) -> Iterator:
         import math
 
+        import numpy as np
         import pyarrow as pa
         for batch in batches:
             refs = batch.column(0).to_pylist()
-            heads = batch.column(1).to_pylist()
+            payloads = batch.column(1).to_pylist()
             vecs = []
-            for ref, head in zip(refs, heads):
-                px = _fake_pixels(ref, head or b"", dim * 16)
-                hist = [0.0] * dim
-                for i, b in enumerate(px):
-                    hist[i % dim] += b / 255.0
-                norm = math.sqrt(sum(v * v for v in hist)) or 1.0
-                vecs.append([v / norm for v in hist])
+            for ref, payload in zip(refs, payloads):
+                data = payload or b""
+                vec = None
+                try:
+                    out = decode_pixels(data, _sniff(data) or "unknown")
+                    if isinstance(out, tuple):  # audio (rate, samples)
+                        _rate, samples = out
+                        flat = samples.astype(np.float32) / 32768.0
+                        head = [float(flat.mean()), float(flat.std()),
+                                float(np.abs(flat).mean()),
+                                float(np.abs(flat).max(initial=0.0)),
+                                0.0, 0.0]
+                        hist, _ = np.histogram(
+                            flat, bins=max(1, dim - 6), range=(-1.0, 1.0))
+                    else:  # image HxWxC uint8
+                        px = out.astype(np.float32) / 255.0
+                        ch = [px[:, :, i % px.shape[2]] for i in range(3)]
+                        head = [float(c.mean()) for c in ch] + \
+                               [float(c.std()) for c in ch]
+                        luma = (0.299 * ch[0] + 0.587 * ch[1]
+                                + 0.114 * ch[2])
+                        hist, _ = np.histogram(
+                            luma, bins=max(1, dim - 6), range=(0.0, 1.0))
+                    hsum = float(hist.sum()) or 1.0
+                    vec = head + [float(v) / hsum for v in hist]
+                    vec = (vec + [0.0] * dim)[:dim]
+                except Exception:  # codec unavailable / malformed
+                    pass
+                if vec is None:
+                    px = _fake_pixels(ref, data[:4096], dim * 16)
+                    vec = [0.0] * dim
+                    for i, b in enumerate(px):
+                        vec[i % dim] += b / 255.0
+                norm = math.sqrt(sum(v * v for v in vec)) or 1.0
+                vecs.append([v / norm for v in vec])
             yield pa.RecordBatch.from_arrays(
                 [pa.array(refs, pa.string()),
                  pa.array(vecs, pa.list_(pa.float32()))],
                 names=["media_ref", "embedding"])
 
-    return _salted(capped, num_partitions).mapInArrow(run, FEATURE_SCHEMA)
+    return _salted(full, num_partitions).mapInArrow(run, FEATURE_SCHEMA)
 
 
 def resize_images(df: DataFrame, width: int = 64, height: int = 64,
                   num_partitions: int | None = None) -> DataFrame:
-    """(media_ref, payload) → fixed-size "pixel" buffer (w*h*3 bytes).
+    """(media_ref, payload) → fixed-size RGB pixel buffer (w*h*3 bytes).
 
-    Output schema/batch shape is exactly what a Pillow-backed resize
-    would produce; the pixel content is the deterministic stub.
+    Decodable containers produce a REAL thumbnail: codec decode →
+    box-filter area resample (`codecs.resize_area`) → packed RGB24.
+    Codec-unavailable/malformed payloads keep the batch total with the
+    deterministic fake, flagged in ``ok``.
     """
     n_out = width * height * 3
 
     def run(batches: Iterator) -> Iterator:
+        import numpy as np
         import pyarrow as pa
         for batch in batches:
             refs = batch.column(0).to_pylist()
@@ -196,12 +269,22 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64,
             outs, oks = [], []
             for ref, payload in zip(refs, payloads):
                 data = payload or b""
+                out = None
                 try:
-                    decode_pixels(data, "unknown")
+                    px = decode_pixels(data, _sniff(data) or "unknown")
+                    if isinstance(px, tuple):
+                        raise CodecUnavailable("audio has no thumbnail")
+                    if px.shape[2] == 1:
+                        px = np.repeat(px, 3, axis=2)
+                    out = resize_area(px[:, :, :3], width, height).tobytes()
                     oks.append("ok")
-                except NotImplementedError:
-                    oks.append("stub:NotImplementedError")
-                outs.append(_fake_pixels(ref, data, n_out))
+                except CodecUnavailable:
+                    oks.append("codec:unavailable")
+                except Exception as exc:  # malformed payload
+                    oks.append(f"err:{type(exc).__name__}")
+                if out is None:
+                    out = _fake_pixels(ref, data, n_out)
+                outs.append(out)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(refs, pa.string()),
                  pa.array([width] * len(refs), pa.int32()),

@@ -35,13 +35,22 @@ def _words(rng: random.Random, n: int) -> str:
 
 
 def _png_bytes(width: int, height: int) -> bytes:
+    """A real, decodable RGB PNG (filter 0, zlib level 1): a
+    deterministic (width, height)-seeded gradient, so the multimodal
+    decode/resize/feature path sees true pixels, while staying cheap
+    enough to synthesize by the tens of thousands in bench corpora."""
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    chunk = b"IHDR" + ihdr
-    return (b"\x89PNG\r\n\x1a\n"
-            + struct.pack(">I", len(ihdr)) + chunk
-            + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
-            + struct.pack(">I", 0) + b"IEND"
-            + struct.pack(">I", zlib.crc32(b"IEND") & 0xFFFFFFFF))
+    row = bytes((x * 3 + k + width * 7 + height) % 256
+                for x in range(width) for k in range(3))
+    raw = (b"\x00" + row) * height  # filter-0 scanlines
+    idat = zlib.compress(raw, 1)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
 
 
 def _jpeg_bytes(width: int, height: int) -> bytes:
@@ -215,7 +224,7 @@ def _gen_html(rng, i, doc_id, docs, oembeds, media, expected,
     if with_media:
         for k in range(rng.randint(1, 3)):
             ref = f"https://cdn.example.com/media/{i}-{k}.png"
-            w, h = rng.randint(100, 2000), rng.randint(100, 2000)
+            w, h = rng.randint(16, 96), rng.randint(16, 96)
             media_refs.append((ref, "image/png", w, h))
             media.append({"media_ref": ref, "ctype": "image/png",
                           "payload": _png_bytes(w, h)})
