@@ -46,6 +46,37 @@ class CodecUnavailable(NotImplementedError):
     (compressed video/audio essence)."""
 
 
+def total(fn):
+    """Totality wrapper for decoders: at corpus scale every byte
+    pattern occurs, so low-level parse faults (short struct reads,
+    index overruns, zlib state errors) must surface as the typed
+    ``CodecError`` the operators' lineage columns understand — never
+    as a raw ``struct.error`` that looks like an engine bug."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (CodecError, CodecUnavailable):
+            raise
+        except (struct.error, IndexError, KeyError, OverflowError,
+                ZeroDivisionError, zlib.error, UnicodeDecodeError) as exc:
+            raise CodecError(
+                f"{fn.__name__}: malformed payload ({exc})") from exc
+    return wrapped
+
+
+# allocation guard: a fuzzed/hostile header can declare 2^31×2^31 pixels;
+# decoding allocates O(W*H) BEFORE pixel data length checks can catch it
+MAX_PIXELS = 1 << 26  # 64 Mpx ≈ 256 MB RGBA — generous for real corpora
+
+
+def _check_dims(w: int, h: int, what: str) -> None:
+    if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+        raise CodecError(f"{what}: implausible dimensions {w}x{h}")
+
+
 # ---------------------------------------------------------------------------
 # PNG
 
@@ -119,6 +150,7 @@ _ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
 
+@total
 def decode_png(data: bytes) -> np.ndarray:
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise CodecError("png: bad signature")
@@ -147,13 +179,24 @@ def decode_png(data: bytes) -> np.ndarray:
         raise CodecError("png: missing IHDR")
     if not idat:
         raise CodecError("png: no image data (header-only payload)")
+    _check_dims(width, height, "png")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise CodecError(f"png: bad color type {ctype}")
+    # inflate capped at the raw size the header implies (+1 slack byte to
+    # detect overrun) — an unbounded decompress would let a 1 KB zip-bomb
+    # payload allocate gigabytes before any length check runs
+    bits_pp = channels * (16 if depth == 16 else depth)
+    max_stride = (width * bits_pp + 7) // 8
+    # Adam7 stores ~1.875*height scanlines (each with a filter byte), so
+    # 2*height rows upper-bounds both layouts
+    expected = 2 * (height + 15) * (max_stride + 1)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        raw = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
     except zlib.error as exc:
         raise CodecError(f"png: zlib {exc}") from exc
+    if len(raw) > expected:
+        raise CodecError("png: image data exceeds declared dimensions")
 
     def deframe(w: int, h: int, buf: bytes) -> tuple[np.ndarray, bytes]:
         """Unfilter one (sub)image of w×h; returns (HxWxC, rest-of-buf)."""
@@ -225,7 +268,8 @@ def encode_png(img: np.ndarray) -> bytes:
 # GIF
 
 
-def _lzw_decode(min_code_size: int, data: bytes) -> bytes:
+def _lzw_decode(min_code_size: int, data: bytes,
+                max_out: int | None = None) -> bytes:
     clear = 1 << min_code_size
     end = clear + 1
     table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
@@ -258,6 +302,8 @@ def _lzw_decode(min_code_size: int, data: bytes) -> bytes:
             else:
                 raise CodecError("gif: LZW code out of range")
             out += entry
+            if max_out is not None and len(out) > max_out:
+                return bytes(out[:max_out])  # bomb guard: dims bound output
             prev = entry
             if len(table) == (1 << code_size) and code_size < 12:
                 code_size += 1
@@ -308,6 +354,7 @@ def _lzw_encode(min_code_size: int, pixels: bytes) -> bytes:
     return bytes(out)
 
 
+@total
 def decode_gif(data: bytes) -> np.ndarray:
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise CodecError("gif: bad signature")
@@ -351,8 +398,10 @@ def decode_gif(data: bytes) -> np.ndarray:
                 sub += data[pos + 1:pos + 1 + ln]
                 pos += 1 + ln
             pos += 1
-            idx = np.frombuffer(_lzw_decode(min_code, bytes(sub)),
-                                np.uint8)
+            _check_dims(iw, ih, "gif")
+            idx = np.frombuffer(
+                _lzw_decode(min_code, bytes(sub), max_out=iw * ih),
+                np.uint8)
             if len(idx) < iw * ih:
                 raise CodecError("gif: truncated pixel data")
             idx = idx[:iw * ih].reshape(ih, iw)
@@ -410,6 +459,7 @@ def encode_gif(img: np.ndarray) -> bytes:
 # BMP / PPM
 
 
+@total
 def decode_bmp(data: bytes) -> np.ndarray:
     if data[:2] != b"BM":
         raise CodecError("bmp: bad signature")
@@ -421,6 +471,7 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise CodecError(f"bmp: {bpp}-bit unsupported")
     flip = h > 0
     h = abs(h)
+    _check_dims(w, h, "bmp")
     nch = bpp // 8
     stride = (w * nch + 3) & ~3
     px = np.frombuffer(data[off:off + stride * h], np.uint8)
@@ -447,6 +498,7 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + body
 
 
+@total
 def decode_ppm(data: bytes) -> np.ndarray:
     magic = data[:2]
     if magic not in (b"P6", b"P5"):
@@ -470,6 +522,7 @@ def decode_ppm(data: bytes) -> np.ndarray:
     w, h, maxval = fields
     if maxval > 255:
         raise CodecError("ppm: 16-bit unsupported")
+    _check_dims(w, h, "ppm")
     nch = 3 if magic == b"P6" else 1
     px = np.frombuffer(data[pos:pos + w * h * nch], np.uint8)
     if len(px) < w * h * nch:
@@ -489,6 +542,7 @@ def encode_ppm(img: np.ndarray) -> bytes:
 # WAV
 
 
+@total
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     """→ (sample_rate, samples[n, channels] int16)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -523,9 +577,9 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
 
 
 def encode_wav(rate: int, samples: np.ndarray) -> bytes:
-    samples = np.atleast_2d(samples.astype("<i2"))
-    if samples.shape[0] == 1:
-        samples = samples.T
+    samples = np.asarray(samples, "<i2")
+    if samples.ndim == 1:  # mono vector → (n, 1); never transpose 2-D
+        samples = samples[:, None]
     n, ch = samples.shape
     body = samples.tobytes()
     fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)

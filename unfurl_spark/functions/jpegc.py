@@ -22,7 +22,7 @@ import struct
 
 import numpy as np
 
-from .codecs import CodecError, CodecUnavailable
+from .codecs import CodecError, CodecUnavailable, _check_dims, total
 
 # zigzag order: index i holds the raster position of the i-th scanned coeff
 ZIGZAG = np.array([
@@ -171,6 +171,7 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+@total
 def decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xFF\xD8":
         raise CodecError("jpeg: bad signature")
@@ -241,6 +242,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 def _decode_scan(data, pos, frame, scan, qtables, htables,
                  restart_interval) -> np.ndarray:
     w, h, comps = frame
+    _check_dims(w, h, "jpeg")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
