@@ -1019,6 +1019,72 @@ _CC_DUCK = ("WITH RECURSIVE docs AS (\n"
 
 QUERIES["dedup_connected_components"] = (_connected_components, _CC_DUCK)
 
+# TF-IDF top terms per document — the standard relevance/keyword stage of
+# a text pipeline.  Document frequency comes from the already-distinct
+# (doc_id, word) tf table (count per word), NOT count(DISTINCT doc_id)
+# over raw tokens — same answer, one less shuffle and no distinct-expand
+# at 10^12 docs.  Rank orders by the score rounded to 6dp with the word
+# as tiebreak, so both engines agree on ties down to libm noise.
+_TFIDF = """
+WITH words AS (
+  SELECT doc_id, word FROM (%s) WHERE word <> ''
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word
+), idf AS (
+  SELECT word, count(*) AS df FROM tf GROUP BY word
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, word, rnk, tfidf FROM (
+  SELECT tf.doc_id AS doc_id, tf.word AS word,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY round(tf.tf * ln((n.n_docs + 1.0) / (idf.df + 1.0)), 6)
+                      DESC,
+                    tf.word) AS rnk,
+         round(tf.tf * ln((n.n_docs + 1.0) / (idf.df + 1.0)), 4) AS tfidf
+  FROM tf JOIN idf ON tf.word = idf.word CROSS JOIN n
+  WHERE tf.doc_id < 100
+)
+WHERE rnk <= 3
+"""
+_q("tfidf_top_terms",
+   _TFIDF % ("SELECT doc_id, t.word AS word FROM documents "
+             "LATERAL VIEW explode(split(text, ' ')) t AS word"),
+   _TFIDF % ("SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+             "FROM documents"))
+
+# stratified deterministic sampling — per-language rates via an md5 hash
+# gate (hex-prefix threshold ≈ rate), reproducible across engines, runs,
+# restarts, and cluster sizes; the per-row form (not a count summary) is
+# what feeds a training-mix job downstream
+_STRAT = """
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5(CAST(doc_id AS {str_t})), 1, 2)
+      < CASE lang WHEN 'en' THEN '80' WHEN 'de' THEN '33' ELSE '1a' END
+"""
+_q("documents_stratified_sample",
+   _STRAT.format(str_t="STRING"), _STRAT.format(str_t="VARCHAR"))
+
+# per-label embedding centroids (one k-means / class-prototype pass) in
+# long form (label, pos) — a single shuffle on the group keys; the wide
+# array is reassembled only at consumer time, so the agg state per key is
+# one double, not a 64-float array
+_q("embedding_centroids", """
+SELECT label, p.pos AS pos,
+       round(avg(CAST(p.val AS DOUBLE)), 4) AS mean_val,
+       count(*) AS n_vecs
+FROM embeddings LATERAL VIEW posexplode(embedding) p AS pos, val
+GROUP BY label, p.pos
+""", """
+SELECT label, CAST(ord - 1 AS INT) AS pos,
+       round(avg(CAST(val AS DOUBLE)), 4) AS mean_val,
+       count(*) AS n_vecs
+FROM (SELECT label, unnest(embedding) AS val,
+             unnest(generate_series(1, len(embedding))) AS ord
+      FROM embeddings)
+GROUP BY label, pos
+""")
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible: the fused extraction pipeline itself (rows-only check)
 
