@@ -246,3 +246,38 @@ def test_resize_area_preserves_mean_and_solid():
     assert (C.resize_area(solid, 5, 9) == 77).all()
     up = C.resize_area(solid, 40, 40)
     assert up.shape == (40, 40, 3) and (up == 77).all()
+
+
+def test_gif_animation_roundtrip_and_disposal():
+    f0 = np.full((8, 10, 3), 50, np.uint8)
+    f1 = f0.copy()
+    f1[2:5, 3:7] = 200
+    f2 = f0.copy()
+    f2[0:2, 0:2] = 90
+    enc = C.encode_gif_anim([f0, f1, f2], delay_ms=40)
+    frames = C.decode_gif_frames(enc)
+    assert len(frames) == 3
+    assert [d for d, _ in frames] == [40, 40, 40]
+    for want, (_d, got) in zip((f0, f1, f2), frames):
+        assert (got == want).all()
+    # max_frames truncation
+    assert len(C.decode_gif_frames(enc, max_frames=2)) == 2
+    # single-frame decode still matches the first frame exactly
+    assert (C.decode_gif(enc) == f0).all()
+
+
+def test_gif_transparency_composites_over_previous():
+    # frame 2 is a full-screen rect where index 0 is transparent; the
+    # composited canvas must keep frame 1 pixels underneath
+    f0 = np.full((6, 6, 3), 10, np.uint8)
+    enc0 = C.encode_gif_anim([f0, f0], delay_ms=10)
+    # hand-tune: mark second frame's GCE transparent_index = its own
+    # palette index of color 10 so every pixel is "transparent"
+    raw = bytearray(enc0)
+    # second GCE: find the 2nd occurrence of 21 F9 04
+    first = raw.index(b"\x21\xF9\x04")
+    second = raw.index(b"\x21\xF9\x04", first + 1)
+    raw[second + 3] |= 0x01   # transparency flag on
+    raw[second + 6] = 0       # transparent index 0 (color 10)
+    frames = C.decode_gif_frames(bytes(raw))
+    assert (frames[1][1] == 10).all()  # shows through, not black

@@ -162,3 +162,25 @@ def test_plan_is_arrow_no_per_row_python(spark, media):
     assert "BatchEvalPython" not in plan
     # byte cap is a projection before the Python stage
     assert "substring" in plan.lower()
+
+
+def test_sample_frames_real_gif_animation(spark):
+    from unfurl_spark.functions.codecs import encode_gif_anim
+
+    f0 = np.full((8, 8, 3), 30, np.uint8)
+    f1 = np.full((8, 8, 3), 120, np.uint8)
+    f2 = np.full((8, 8, 3), 210, np.uint8)
+    anim = encode_gif_anim([f0, f1, f2], delay_ms=500)
+    df = spark.createDataFrame(
+        [Row(media_ref="clip.gif", payload=anim),
+         Row(media_ref="vid.bin", payload=b"\x00" * 64)])
+    rows = sample_frames(df, n_frames=3, frame_interval_ms=100).collect()
+    gif = sorted((r for r in rows if r["media_ref"] == "clip.gif"),
+                 key=lambda r: r["frame_index"])
+    assert [r["ok"] for r in gif] == ["ok"] * 3
+    assert [r["frame_ts_ms"] for r in gif] == [0, 500, 1000]
+    vals = [np.frombuffer(bytes(r["payload"]), np.uint8)[0] for r in gif]
+    assert vals == [30, 120, 210]  # real pixels from each frame
+    stub = [r for r in rows if r["media_ref"] == "vid.bin"]
+    assert len(stub) == 3
+    assert all(r["ok"] == "codec:unavailable" for r in stub)

@@ -354,11 +354,14 @@ def _lzw_encode(min_code_size: int, pixels: bytes) -> bytes:
     return bytes(out)
 
 
-@total
-def decode_gif(data: bytes) -> np.ndarray:
+def _gif_frames_raw(data: bytes, max_frames: int | None = None):
+    """Parse GIF blocks, yielding one raw (un-composited) record per
+    image descriptor: (ix, iy, idx_array, palette, transparent_index,
+    delay_ms, disposal)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise CodecError("gif: bad signature")
     sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    _check_dims(max(1, sw), max(1, sh), "gif")
     pos = 13
     gct = None
     if flags & 0x80:
@@ -366,6 +369,9 @@ def decode_gif(data: bytes) -> np.ndarray:
         gct = np.frombuffer(data[pos:pos + 3 * n], np.uint8).reshape(-1, 3)
         pos += 3 * n
     transparent = None
+    delay_ms = 0
+    disposal = 0
+    n_out = 0
     while pos < len(data):
         block = data[pos]
         if block == 0x21:  # extension
@@ -373,8 +379,10 @@ def decode_gif(data: bytes) -> np.ndarray:
             pos += 2
             if label == 0xF9 and data[pos] >= 4:  # graphic control
                 gflags = data[pos + 1]
-                if gflags & 1:
-                    transparent = data[pos + 4]
+                disposal = (gflags >> 2) & 7
+                delay_ms = struct.unpack(
+                    "<H", data[pos + 2:pos + 4])[0] * 10
+                transparent = data[pos + 4] if gflags & 1 else None
             while data[pos]:  # skip sub-blocks
                 pos += 1 + data[pos]
             pos += 1
@@ -413,16 +421,63 @@ def decode_gif(data: bytes) -> np.ndarray:
                 idx = deinter
             pal = np.zeros((256, 3), np.uint8)
             pal[:len(lct)] = lct
-            rgb = pal[idx]
-            if transparent is not None:
-                alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
-                return np.dstack([rgb, alpha])
-            return rgb
+            yield (sw, sh, ix, iy, idx, pal, transparent, delay_ms,
+                   disposal)
+            n_out += 1
+            if max_frames is not None and n_out >= max_frames:
+                return
+            transparent = None
+            delay_ms = 0
+            disposal = 0
         elif block == 0x3B:
             break
         else:
             raise CodecError(f"gif: unknown block 0x{block:02x}")
+    if n_out == 0:
+        raise CodecError("gif: no image descriptor")
+
+
+@total
+def decode_gif(data: bytes) -> np.ndarray:
+    """First frame, un-composited (matches single-image GIFs exactly)."""
+    for (_sw, _sh, _ix, _iy, idx, pal, transparent, _d,
+         _disp) in _gif_frames_raw(data, max_frames=1):
+        rgb = pal[idx]
+        if transparent is not None:
+            alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
+            return np.dstack([rgb, alpha])
+        return rgb
     raise CodecError("gif: no image descriptor")
+
+
+@total
+def decode_gif_frames(data: bytes, max_frames: int | None = None
+                      ) -> list[tuple[int, np.ndarray]]:
+    """Animated GIF → [(delay_ms, HxWx3 canvas), ...] composited per the
+    GIF disposal model onto the logical screen: disposal 0/1 leave the
+    canvas, 2 restores background (black), 3 restores the previous
+    canvas; transparent pixels leave the underlying canvas visible."""
+    frames: list[tuple[int, np.ndarray]] = []
+    canvas = None
+    for (sw, sh, ix, iy, idx, pal, transparent, delay_ms,
+         disposal) in _gif_frames_raw(data, max_frames):
+        if canvas is None:
+            canvas = np.zeros((sh, sw, 3), np.uint8)
+        before = canvas.copy() if disposal == 3 else None
+        region = canvas[iy:iy + idx.shape[0], ix:ix + idx.shape[1]]
+        rh, rw = region.shape[:2]  # clip frames overhanging the screen
+        rgb = pal[idx][:rh, :rw]
+        if transparent is not None:
+            mask = (idx[:rh, :rw] != transparent)[:, :, None]
+            region[:] = np.where(mask, rgb, region)
+        else:
+            region[:] = rgb
+        frames.append((delay_ms, canvas.copy()))
+        if disposal == 2:  # restore to background
+            canvas[iy:iy + idx.shape[0], ix:ix + idx.shape[1]] = 0
+        elif disposal == 3 and before is not None:
+            canvas = before
+    return frames
 
 
 def encode_gif(img: np.ndarray) -> bytes:
@@ -452,6 +507,51 @@ def encode_gif(img: np.ndarray) -> bytes:
         out.append(len(chunk))
         out += chunk
     out += b"\x00\x3B"
+    return bytes(out)
+
+
+def encode_gif_anim(frames: list[np.ndarray],
+                    delay_ms: int = 100) -> bytes:
+    """Animated-GIF encoder for test fixtures: one shared palette built
+    from all frames' distinct colors (≤256 total), one graphic-control
+    extension + full-screen image descriptor per frame, disposal 'leave'."""
+    if not frames:
+        raise CodecError("gif encoder: no frames")
+    norm = []
+    for f in frames:
+        f = np.atleast_3d(f.astype(np.uint8))
+        if f.shape[2] == 1:
+            f = np.repeat(f, 3, axis=2)
+        norm.append(f[:, :, :3])
+    h, w, _ = norm[0].shape
+    if any(f.shape != (h, w, 3) for f in norm):
+        raise CodecError("gif encoder: frames must share one size")
+    allpx = np.concatenate([f.reshape(-1, 3) for f in norm])
+    colors, inverse = np.unique(allpx, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise CodecError("gif encoder: >256 distinct colors")
+    depth = max(1, int(np.ceil(np.log2(max(2, len(colors))))))
+    n = 1 << depth
+    table = np.zeros((n, 3), np.uint8)
+    table[:len(colors)] = colors
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += table.tobytes()
+    min_code = max(2, depth)
+    per = h * w
+    for fi in range(len(norm)):
+        out += b"\x21\xF9\x04"  # GCE: disposal=1 (leave), no transparency
+        out += bytes([0x04]) + struct.pack("<H", delay_ms // 10) + b"\x00\x00"
+        out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(min_code)
+        idx = inverse[fi * per:(fi + 1) * per].astype(np.uint8)
+        lzw = _lzw_encode(min_code, idx.tobytes())
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3B"
     return bytes(out)
 
 

@@ -35,6 +35,7 @@ from .codecs import (
     CodecUnavailable,
     decode_bmp,
     decode_gif,
+    decode_gif_frames,
     decode_png,
     decode_ppm,
     decode_wav,
@@ -53,7 +54,7 @@ FEATURE_SCHEMA = "media_ref string, embedding array<float>"
 RESIZE_SCHEMA = ("media_ref string, width int, height int, "
                  "payload binary, ok string")
 FRAME_SCHEMA = ("media_ref string, frame_index int, frame_ts_ms long, "
-                "payload binary")
+                "payload binary, ok string")
 
 
 _DECODERS = {
@@ -302,11 +303,13 @@ def sample_frames(df: DataFrame, n_frames: int = 4,
                   num_partitions: int | None = None) -> DataFrame:
     """(media_ref, payload) → n_frames rows per video (1→N batch shape).
 
-    Frame timestamps are REAL when the container declares a duration
-    (mp4 moov/mvhd via media.mp4_metadata): frames spread evenly across
-    the clip, exactly like an `ffmpeg -vf fps=` sampler; containers with
-    no parseable duration fall back to the fixed interval.  Frame pixel
-    payloads remain the deterministic stub (codec boundary).
+    Animated GIFs yield REAL frames: the LZW decoder composites the
+    frame sequence per the disposal model, n_frames are picked evenly
+    across it, timestamps come from the per-frame delays — a true
+    `ffmpeg -vf fps=` sampler.  MP4/WebM get real timestamps (moov/mvhd
+    duration spread) but stub pixels (H.264/VP9 essence is the codec
+    boundary, flagged in ``ok``); unparseable payloads fall back to the
+    fixed interval.
     """
 
     def run(batches: Iterator) -> Iterator:
@@ -314,27 +317,55 @@ def sample_frames(df: DataFrame, n_frames: int = 4,
         for batch in batches:
             refs = batch.column(0).to_pylist()
             payloads = batch.column(1).to_pylist()
-            o_refs, o_idx, o_ts, o_payload = [], [], [], []
+            o_refs, o_idx, o_ts, o_payload, o_ok = [], [], [], [], []
             for ref, payload in zip(refs, payloads):
                 data = payload or b""
+                real = None
+                if _sniff(data) == "gif":
+                    try:
+                        decoded = decode_gif_frames(data, max_frames=256)
+                        # n_frames picks spread evenly over the clip
+                        picks = [min(len(decoded) - 1,
+                                     i * len(decoded) // n_frames)
+                                 for i in range(n_frames)]
+                        ts_cum, acc = [], 0
+                        for delay, _f in decoded:
+                            ts_cum.append(acc)
+                            acc += delay or frame_interval_ms
+                        real = [(ts_cum[j], decoded[j][1].tobytes())
+                                for j in picks]
+                    except (CodecError, CodecUnavailable):
+                        real = None
+                if real is not None:
+                    for i, (ts, px) in enumerate(real):
+                        o_refs.append(ref)
+                        o_idx.append(i)
+                        o_ts.append(ts)
+                        o_payload.append(px)
+                        o_ok.append("ok")
+                    continue
                 duration_s = mp4_metadata(data).get("duration_s")
                 if duration_s:
                     step_ms = max(1, int(duration_s * 1000 / n_frames))
+                    ok = "codec:unavailable"  # real timing, stub pixels
                 else:
                     step_ms = frame_interval_ms
+                    ok = "codec:unavailable"
                 for i in range(n_frames):
                     o_refs.append(ref)
                     o_idx.append(i)
                     o_ts.append(i * step_ms)
                     o_payload.append(
                         _fake_pixels(f"{ref}#{i}", data, 256))
+                    o_ok.append(ok)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(o_refs, pa.string()),
                  pa.array(o_idx, pa.int32()),
                  pa.array(o_ts, pa.int64()),
-                 pa.array(o_payload, pa.binary())],
+                 pa.array(o_payload, pa.binary()),
+                 pa.array(o_ok, pa.string())],
                 names=["media_ref", "frame_index", "frame_ts_ms",
-                       "payload"])
+                       "payload", "ok"])
 
     return _salted(df.select("media_ref", "payload"),
                    num_partitions).mapInArrow(run, FRAME_SCHEMA)
