@@ -120,6 +120,7 @@ BNL_ALLOWED = {
     "ann_cosine_topk": (1, "cross join against the single query-vector row"),
     "ann_ivf_topk": (3, "16-row sampled codebook + 1-row query vector"),
     "tfidf_top_terms": (1, "cross join against the 1-row corpus-size agg"),
+    "text_lm_logprob": (1, "cross join against the 1-row token-total agg"),
 }
 
 

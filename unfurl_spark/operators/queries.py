@@ -1085,6 +1085,45 @@ FROM (SELECT label, unnest(embedding) AS val,
 GROUP BY label, pos
 """)
 
+# unigram LM quality score (the CCNet/KenLM-style filter signal): each
+# document's mean token log-probability under the corpus unigram
+# distribution.  Shuffles once on word (freq join — broadcastable in
+# practice) and once on doc_id; the 1-row token-total agg broadcasts.
+_LM = """
+WITH words AS (
+  SELECT doc_id, word FROM (%s) WHERE word <> ''
+), freq AS (
+  SELECT word, count(*) AS wc FROM words GROUP BY word
+), tot AS (SELECT sum(wc) AS n_tok FROM freq)
+SELECT w.doc_id AS doc_id,
+       round(avg(ln(CAST(f.wc AS DOUBLE) / CAST(t.n_tok AS DOUBLE))), 4)
+         AS avg_logprob,
+       count(*) AS n_tokens
+FROM words w JOIN freq f ON w.word = f.word CROSS JOIN tot t
+WHERE w.doc_id < 200
+GROUP BY w.doc_id
+"""
+_q("text_lm_logprob",
+   _LM % ("SELECT doc_id, t.word AS word FROM documents "
+          "LATERAL VIEW explode(split(text, ' ')) t AS word"),
+   _LM % ("SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+          "FROM documents"))
+
+# n-gram repetition ratio (the Gopher/MassiveText repetition rule):
+# fraction of a document's 3-gram occurrences that are repeats of an
+# earlier 3-gram in the same document — pure per-doc aggregation over
+# the shared shingle CTE, no joins at all
+_REP_BODY = """
+SELECT doc_id,
+       round(1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*), 4)
+         AS rep_ratio,
+       count(*) AS n_grams
+FROM shingles
+GROUP BY doc_id
+"""
+_q("text_repetition_ratio", _MINHASH_CTE + _REP_BODY,
+   _MINHASH_CTE_DUCK + _REP_BODY)
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible: the fused extraction pipeline itself (rows-only check)
 
