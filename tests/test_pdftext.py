@@ -1,0 +1,100 @@
+"""PDF text extraction: conformance on the reference corpus's real
+PDFs (three wild academic/slide files — TeX, dvips, and Office
+producers), content-stream machine unit paths, and totality."""
+
+import glob
+import zlib
+
+import numpy as np
+
+from unfurl_spark.functions.pdftext import (
+    _run_text_machine,
+    pdf_text,
+    pdf_text_blocks,
+)
+
+FIXTURES = sorted(glob.glob(
+    "/root/reference/packages/test/fixtures/*pdf*/body"))
+
+
+def _fixture(name_part: str) -> bytes:
+    for f in FIXTURES:
+        if name_part in f:
+            with open(f, "rb") as fh:
+                return fh.read()
+    raise AssertionError(f"fixture {name_part} missing")
+
+
+def test_real_pdf_tex_producer():
+    txt = pdf_text(_fixture("moral-fn"))
+    assert "The Moral Character of Cryptographic Work" in txt
+    assert "Phillip Rogaway" in txt
+    # ligature mapping: \x0c → fi in TeX OT1 fonts
+    assert "configures" in txt and "field" in txt
+    assert len(txt) > 100_000  # full paper, not just the first page
+
+
+def test_real_pdf_dvips_word_gaps():
+    txt = pdf_text(_fixture("mihalcea"))
+    # this producer kerns per word with NO literal spaces — the
+    # font-size-scaled Td heuristic must reconstruct the gaps
+    assert "TextRank: Bringing Order into Texts" in txt
+    assert "Department of Computer Science" in txt
+
+
+def test_real_pdf_slides():
+    txt = pdf_text(_fixture("Liang"))
+    assert "WebKit" in txt
+    assert "Liang Chen" in txt
+
+
+def test_text_machine_operators():
+    content = (b"BT /F1 12 Tf (Hello) Tj 0 -14 Td (world) Tj ET "
+               b"BT [(k) -50 (ern) -300 (gap)] TJ ET")
+    txt = _run_text_machine(content)
+    assert txt.splitlines() == ["Hello", "world", "kern gap"]
+
+
+def test_string_escapes_and_hex():
+    content = rb"BT (a\(b\)c \\ \101 line\nbreak) Tj <48454C4C4F> Tj ET"
+    txt = _run_text_machine(content)
+    assert "a(b)c \\ A line" in txt
+    assert "HELLO" in txt
+
+
+def test_uncompressed_and_flate_streams():
+    raw = b"BT (plain) Tj ET"
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length "
+           + str(len(raw)).encode() + b" >>\nstream\n"
+           + raw + b"\nendstream\nendobj\n%%EOF")
+    assert pdf_text(pdf) == "plain"
+    fl = zlib.compress(b"BT (flate) Tj ET")
+    pdf2 = (b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode >>\nstream\n"
+            + fl + b"\nendstream\nendobj\n%%EOF")
+    assert pdf_text(pdf2) == "flate"
+
+
+def test_totality_on_garbage():
+    rng = np.random.default_rng(5)
+    assert pdf_text_blocks(b"") == []
+    assert pdf_text_blocks(b"not a pdf") == []
+    assert pdf_text_blocks(
+        bytes(rng.integers(0, 256, 4096, dtype=np.uint8))) == []
+    # truncated real pdf: must not raise
+    data = _fixture("moral-fn")
+    for cut in (100, 1000, len(data) // 2):
+        pdf_text_blocks(data[:cut])
+    # mutated
+    buf = bytearray(data[:20000])
+    for _ in range(50):
+        buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+        pdf_text_blocks(bytes(buf))
+
+
+def test_cid_garbage_gated():
+    # a stream of high-bit CID bytes must be dropped, not emitted
+    body = b"BT (\x03\x07\x01\x02\x05\x04\x06\x08\x0e\x10) Tj ET"
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length "
+           + str(len(body)).encode() + b" >>\nstream\n"
+           + body + b"\nendstream\nendobj\n%%EOF")
+    assert pdf_text(pdf) == ""

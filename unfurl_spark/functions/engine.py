@@ -103,10 +103,12 @@ def document_spans(doc_id: str, spans: list[dict],
     url = ordered[0].get("media_ref") or doc_id
     html_text = "".join(
         s.get("text") or "" for s in ordered if s.get("kind") == "html")
-    media_refs = [s.get("media_ref") for s in ordered
-                  if s.get("kind") in ("media", "pdf")]
-    return flat_document_spans(url, html_text, status, media_refs,
-                               oembed_store, context_store, media_store)
+    media = [(s.get("media_ref"), s.get("kind")) for s in ordered
+             if s.get("kind") in ("media", "pdf")]
+    return flat_document_spans(url, html_text, status,
+                               [r for r, _ in media],
+                               oembed_store, context_store, media_store,
+                               media_kinds=[k for _, k in media])
 
 
 def flat_document_spans(url: str, html_text: str, status: int,
@@ -115,7 +117,8 @@ def flat_document_spans(url: str, html_text: str, status: int,
                         context_store: dict | None = None,
                         media_store: dict | None = None,
                         oembed_payload: tuple | None = None,
-                        href_out: list | None = None) -> list[dict]:
+                        href_out: list | None = None,
+                        media_kinds: list | None = None) -> list[dict]:
     """Flat-column kernel: (url, reassembled html, status, media refs) →
     ordered output spans.  This is the shape the Spark stage feeds after
     JVM-side span flattening (operators/pipeline.py).
@@ -172,8 +175,11 @@ def flat_document_spans(url: str, html_text: str, status: int,
         for block in classify_blocks(raw_blocks):
             emit("body_text", block)
 
-    for ref in media_refs:
+    kinds = media_kinds if media_kinds is not None \
+        else ["media"] * len(media_refs)
+    for ref, mkind in zip(media_refs, kinds):
         extracted = None
+        body_text = None
         if media_store is not None and ref in media_store:
             ctype, payload = media_store[ref]
             snippet = scrape_document(
@@ -181,7 +187,16 @@ def flat_document_spans(url: str, html_text: str, status: int,
                 body_bytes=payload, plugins=("exif", "exiftool"))
             extracted = json.dumps(
                 snippet, default=str, sort_keys=True, ensure_ascii=False)
+            if mkind == "pdf":
+                from .pdftext import pdf_text
+                body_text = pdf_text(payload)
         emit("media", extracted or "", ref)
+        if mkind == "pdf":
+            # PDF main content (north-rule "PDF/layout parse"): the span
+            # is ALWAYS present for pdf-kind refs — empty text when the
+            # payload is unavailable (pass 1 of the shuffle-join regime
+            # fills it from the joined payload, bit-identically)
+            emit("body_text", body_text or "", ref)
 
     return out
 

@@ -192,6 +192,9 @@ def narrow_columns(df: DataFrame, assume_sorted: bool = False
         F.transform(
             F.filter(ordered, lambda s: s["kind"].isin("media", "pdf")),
             lambda s: s["media_ref"]).alias("media_refs"),
+        F.transform(
+            F.filter(ordered, lambda s: s["kind"].isin("media", "pdf")),
+            lambda s: s["kind"]).alias("media_kinds"),
     )
 
 
@@ -246,6 +249,7 @@ def extract_spans(
             urls = batch.column(2).to_pylist()
             htmls = batch.column(3).to_pylist()
             media_refs = batch.column(4).to_pylist()
+            media_kinds = batch.column(5).to_pylist()
             # columnar accumulators: one flat span table + list offsets —
             # built once per batch, zero pandas/object-row intermediates
             kinds: list = []
@@ -263,7 +267,8 @@ def extract_spans(
                         urls[i] or str(doc_ids[i]), html,
                         int(statuses[i]), list(media_refs[i] or ()),
                         oembed_store=oe, context_store=ctx,
-                        media_store=med)
+                        media_store=med,
+                        media_kinds=list(media_kinds[i] or ()))
                     ok_col.append("ok")
                 except Exception as e:  # noqa: BLE001 — per-doc isolation
                     spans_out = []
@@ -373,6 +378,7 @@ def extract_spans_twopass(
             urls = batch.column(2).to_pylist()
             htmls = batch.column(3).to_pylist()
             media_refs = batch.column(4).to_pylist()
+            media_kinds = batch.column(5).to_pylist()
             spans_lists, n_bytes, oks, hrefs = [], [], [], []
             for i in range(len(doc_ids)):
                 html = htmls[i] or ""
@@ -383,7 +389,8 @@ def extract_spans_twopass(
                         urls[i] or str(doc_ids[i]), html,
                         int(statuses[i]), list(media_refs[i] or ()),
                         context_store=ctx, media_store=med,
-                        href_out=href_out)
+                        href_out=href_out,
+                        media_kinds=list(media_kinds[i] or ()))
                     oks.append("ok")
                 except Exception as e:  # noqa: BLE001 — per-doc isolation
                     spans_out = []
@@ -413,7 +420,7 @@ def extract_spans_twopass(
     rejoin = (narrow.join(need, "doc_id")
               .join(oembed_side, "oembed_href", "left")
               .select("doc_id", "status", "url", "html", "media_refs",
-                      "o_status", "ctype", "body"))
+                      "media_kinds", "o_status", "ctype", "body"))
 
     def run_pass2(batches: Iterator) -> Iterator:
         import pyarrow as pa
@@ -429,9 +436,10 @@ def extract_spans_twopass(
             urls = batch.column(2).to_pylist()
             htmls = batch.column(3).to_pylist()
             media_refs = batch.column(4).to_pylist()
-            o_status = batch.column(5).to_pylist()
-            o_ctype = batch.column(6).to_pylist()
-            o_body = batch.column(7).to_pylist()
+            media_kinds = batch.column(5).to_pylist()
+            o_status = batch.column(6).to_pylist()
+            o_ctype = batch.column(7).to_pylist()
+            o_body = batch.column(8).to_pylist()
             spans_lists, n_bytes, oks = [], [], []
             for i in range(len(doc_ids)):
                 html = htmls[i] or ""
@@ -444,7 +452,8 @@ def extract_spans_twopass(
                         urls[i] or str(doc_ids[i]), html,
                         int(statuses[i]), list(media_refs[i] or ()),
                         context_store=ctx, media_store=med,
-                        oembed_payload=payload)
+                        oembed_payload=payload,
+                        media_kinds=list(media_kinds[i] or ()))
                     oks.append("ok")
                 except Exception as e:  # noqa: BLE001 — per-doc isolation
                     spans_out = []
@@ -499,12 +508,19 @@ def extract_spans_media_join(
     # dedupes); the media side gets the same deterministic one-row-per-ref
     # rule the broadcast store uses
     pairs = (narrow
-             .select("doc_id", F.explode("media_refs").alias("media_ref"))
+             .select("doc_id",
+                     F.explode(F.arrays_zip("media_refs", "media_kinds"))
+                     .alias("mk"))
+             .select("doc_id",
+                     F.col("mk.media_refs").alias("media_ref"),
+                     F.col("mk.media_kinds").alias("media_kind"))
              .distinct()
              .join(dedup_on_key(
                        media_df.select("media_ref", "ctype", "payload"),
                        "media_ref"),
-                   "media_ref", "left"))
+                   "media_ref", "left")
+             .select("doc_id", "media_ref", "media_kind", "ctype",
+                     "payload"))
 
     def run_media(batches: Iterator) -> Iterator:
         import json as _json
@@ -512,16 +528,21 @@ def extract_spans_media_join(
         import pyarrow as pa
 
         from ..functions.engine import scrape_document
+        from ..functions.pdftext import pdf_text as _pdf_text
 
         for batch in batches:
-            refs = batch.column(0).to_pylist()
-            doc_ids = batch.column(1).to_pylist()
-            ctypes = batch.column(2).to_pylist()
-            payloads = batch.column(3).to_pylist()
+            doc_ids = batch.column(0).to_pylist()
+            refs = batch.column(1).to_pylist()
+            mkinds = batch.column(2).to_pylist()
+            ctypes = batch.column(3).to_pylist()
+            payloads = batch.column(4).to_pylist()
             texts = []
+            pdf_texts = []
             errs = []
-            for ref, ctype, payload in zip(refs, ctypes, payloads):
+            for ref, mkind, ctype, payload in zip(refs, mkinds, ctypes,
+                                                  payloads):
                 extracted = ""
+                body_text = "" if mkind == "pdf" else None
                 err = None
                 if payload is not None:
                     try:
@@ -532,6 +553,8 @@ def extract_spans_media_join(
                         extracted = _json.dumps(
                             snippet, default=str, sort_keys=True,
                             ensure_ascii=False)
+                        if mkind == "pdf":
+                            body_text = _pdf_text(payload)
                     except Exception as e:  # noqa: BLE001 — per-ref record
                         # the broadcast path runs this scrape inside the
                         # per-doc try, so a throwing payload fails the whole
@@ -540,17 +563,21 @@ def extract_spans_media_join(
                         extracted = ""
                         err = type(e).__name__
                 texts.append(extracted)
+                pdf_texts.append(body_text)
                 errs.append(err)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(doc_ids, pa.string()),
                  pa.array(refs, pa.string()),
                  pa.array(texts, pa.string()),
+                 pa.array(pdf_texts, pa.string()),
                  pa.array(errs, pa.string())],
-                names=["doc_id", "media_ref", "media_text", "media_err"])
+                names=["doc_id", "media_ref", "media_text", "pdf_text",
+                       "media_err"])
 
     media_text = pairs.mapInArrow(
         run_media, schema="doc_id string, media_ref string, "
-                          "media_text string, media_err string")
+                          "media_text string, pdf_text string, "
+                          "media_err string")
 
     # ordered re-aggregation: explode the placeholder spans, overlay the
     # joined media text onto kind='media' rows, rebuild the array sorted
@@ -563,7 +590,7 @@ def extract_spans_media_join(
                     (exploded["doc_id"] == media_text["doc_id"])
                     & (exploded["s"]["media_ref"]
                        == media_text["media_ref"])
-                    & (exploded["s"]["kind"] == F.lit("media")),
+                    & (exploded["s"]["kind"].isin("media", "body_text")),
                     "left")
               .select(
                   exploded["doc_id"],
@@ -574,6 +601,12 @@ def extract_spans_media_join(
                       F.when(exploded["s"]["kind"] == "media",
                              F.coalesce(media_text["media_text"],
                                         exploded["s"]["text"]))
+                      # pdf body_text placeholders carry the pdf's ref;
+                      # html body_text spans have a NULL ref and never
+                      # match the join, so coalesce keeps their text
+                      .when(exploded["s"]["kind"] == "body_text",
+                            F.coalesce(media_text["pdf_text"],
+                                       exploded["s"]["text"]))
                       .otherwise(exploded["s"]["text"]).alias("text"),
                       exploded["s"]["media_ref"].alias("media_ref"),
                       exploded["s"]["offset"].alias("offset"),

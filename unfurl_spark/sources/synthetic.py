@@ -58,13 +58,30 @@ def _jpeg_bytes(width: int, height: int) -> bytes:
     return b"\xff\xd8" + sof + b"\xff\xd9"
 
 
-def _pdf_bytes(title: str, author: str) -> bytes:
-    return (
+def _pdf_bytes(title: str, author: str,
+               body_lines: list[str] | None = None) -> bytes:
+    """A real single-page PDF: Info dict (metadata parity) + a
+    FlateDecode content stream showing ``body_lines`` — so the pipeline's
+    PDF text extraction runs against true content-stream structure."""
+    lines = body_lines if body_lines is not None else [title]
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    ops = ["BT", "/F1 11 Tf", "1 0 0 1 72 720 Tm"]
+    for ln in lines:
+        ops.append(f"({esc(ln)}) Tj")
+        ops.append("0 -14 Td")
+    ops.append("ET")
+    content = zlib.compress("\n".join(ops).encode("latin-1", "replace"), 6)
+    head = (
         "%PDF-1.4\n1 0 obj\n<< /Title ({t}) /Author ({a}) "
         "/Producer (unfurl-synth) /Creator (synthgen) >>\nendobj\n"
-        "trailer\n<< /Info 1 0 R >>\n%%EOF\n"
-        .format(t=title, a=author).encode()
+        "2 0 obj\n<< /Length {n} /Filter /FlateDecode >>\nstream\n"
+        .format(t=title, a=author, n=len(content)).encode()
     )
+    return (head + content + b"\nendstream\nendobj\n"
+            b"trailer\n<< /Info 1 0 R >>\n%%EOF\n")
 
 
 def _media_json(snippet: dict) -> str:
@@ -126,12 +143,14 @@ def _gen_pdf(rng, i, doc_id, docs, media, expected) -> None:
     url = f"https://files.example.com/{i}/paper.pdf"
     title = _words(rng, 4)
     author = _words(rng, 2)
+    body = [title] + [_words(rng, 8) for _ in range(rng.randint(2, 5))]
     media.append({"media_ref": url, "ctype": "application/pdf",
-                  "payload": _pdf_bytes(title, author)})
+                  "payload": _pdf_bytes(title, author, body)})
     docs.append({"doc_id": doc_id,
                  "spans": _spans_row([("pdf", "", url)]), "status": 200})
     expected.append({"doc_id": doc_id, "spans": _spans_row([
-        ("media", _media_json(_pdf_snippet(url, title, author)), url)])})
+        ("media", _media_json(_pdf_snippet(url, title, author)), url),
+        ("body_text", "\n".join(body), url)])})
 
 
 def _gen_html(rng, i, doc_id, docs, oembeds, media, expected,
