@@ -45,9 +45,9 @@ def _warm(batches):
 def corpus_dir(sf: float, n_docs: int) -> str:
     from unfurl_spark.sources.synthetic import write_corpus
 
-    # v2: corpus PNGs carry real pixel data (see synthetic._png_bytes)
+    # v3: corpus PNGs carry real pixels; PDFs carry real content streams
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       ".data", f"bench_v2_{n_docs}")
+                       ".data", f"bench_v3_{n_docs}")
     marker = os.path.join(out, "documents_raw.parquet")
     if not os.path.exists(marker):
         write_corpus(out, n_docs, seed=42)
