@@ -98,3 +98,29 @@ def test_cid_garbage_gated():
            + str(len(body)).encode() + b" >>\nstream\n"
            + body + b"\nendstream\nendobj\n%%EOF")
     assert pdf_text(pdf) == ""
+
+
+def test_page_boilerplate_stripped():
+    from unfurl_spark.functions.pdftext import strip_page_boilerplate
+
+    pages = []
+    for i in range(4):
+        pages.append("\n".join([
+            "Running Header: My Paper",
+            f"unique content line {i} alpha beta",
+            f"more body text {i} gamma delta",
+            str(i + 1),  # bare page number
+        ]))
+    out = strip_page_boilerplate(pages)
+    joined = "\n\n".join(out)
+    assert "Running Header" not in joined
+    assert "unique content line 2" in joined
+    assert "\n3\n" not in joined and not joined.endswith("\n4")
+    # 1-2 page docs: no repetition evidence, nothing stripped
+    assert strip_page_boilerplate(pages[:2]) == pages[:2]
+
+
+def test_real_pdf_boilerplate_pass_keeps_content():
+    txt = pdf_text(_fixture("moral-fn"))
+    # body survives the layout pass
+    assert "configures" in txt and "Phillip Rogaway" in txt

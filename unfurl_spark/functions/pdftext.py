@@ -285,6 +285,37 @@ def pdf_text_blocks(data: bytes, max_streams: int = 512) -> list[str]:
     return blocks
 
 
+_PAGE_NO = re.compile(r"^\s*(?:[-–—\s]*\d{1,4}[-–—\s]*|[ivxlcdm]{1,7})\s*$",
+                      re.IGNORECASE)
+
+
+def strip_page_boilerplate(blocks: list[str]) -> list[str]:
+    """Layout pass over per-page text blocks: drop running headers /
+    footers (lines repeating on ≥ a third of pages, 3+ occurrences)
+    and bare page-number lines.  Single-page documents pass through
+    untouched — repetition is only evidence across pages."""
+    if len(blocks) < 3:
+        return [b for b in blocks if b]
+    from collections import Counter
+    freq = Counter()
+    for b in blocks:
+        lines = b.split("\n")
+        # headers/footers live at the page edges
+        for ln in {ln.strip() for ln in lines[:3] + lines[-3:]}:
+            if ln:
+                freq[ln] += 1
+    floor = max(3, (len(blocks) + 2) // 3)
+    running = {ln for ln, n in freq.items() if n >= floor}
+    out = []
+    for b in blocks:
+        kept = [ln for ln in b.split("\n")
+                if ln.strip() not in running and not _PAGE_NO.match(ln)]
+        if any(ln.strip() for ln in kept):
+            out.append("\n".join(kept))
+    return out
+
+
 def pdf_text(data: bytes) -> str:
-    """Whole-document text: blocks joined by blank lines."""
-    return "\n\n".join(pdf_text_blocks(data))
+    """Whole-document main content: per-page blocks with running
+    headers/footers and page numbers stripped, joined by blank lines."""
+    return "\n\n".join(strip_page_boilerplate(pdf_text_blocks(data)))
