@@ -61,6 +61,82 @@ def run_context_prepass(spark: SparkSession, input_path: str,
     return spark.read.parquet(path).count()
 
 
+def run_media_job(spark: SparkSession, media_path: str, output_dir: str,
+                  ops: tuple = ("decode",), n_buckets: int = 16,
+                  buckets_per_job: int = 4,
+                  run_id: str | None = None) -> dict:
+    """Multimodal stage with the same operational envelope as the
+    extraction job: media payloads bucketed by ``pmod(xxhash64(
+    media_ref), B)``, per-bucket idempotent overwrite, per-bucket
+    metrics + done-markers, restart resumes the remainder.
+
+    ``ops`` ⊆ {decode, features, resize, frames}: decode always writes
+    ``<out>/media_meta`` (container/dims/ok lineage — the cheap
+    header+codec pass); the others add their own bucketed tables.
+    """
+    from unfurl_spark.functions.multimodal import (decode_media,
+                                                   extract_features,
+                                                   resize_images,
+                                                   sample_frames)
+    from unfurl_spark.sources.tables import (append_metrics, read_table,
+                                             write_bucketed)
+
+    run_id = run_id or f"media-{int(time.time())}"
+    out_metrics = os.path.join(output_dir, "media_metrics")
+    bucket_of = F.pmod(F.xxhash64("media_ref"),
+                       F.lit(n_buckets)).cast("int")
+
+    media = read_table(spark, media_path).withColumn("bucket", bucket_of)
+    done = _done_buckets(spark, out_metrics)
+    todo = [b for b in range(n_buckets) if b not in done]
+    summary = {"run_id": run_id, "resumed_buckets": sorted(done),
+               "processed_buckets": [], "n_media": 0, "n_decoded": 0,
+               "n_codec_unavailable": 0, "n_errors": 0}
+
+    extra = {"features": lambda df: extract_features(df),
+             "resize": lambda df: resize_images(df),
+             "frames": lambda df: sample_frames(df)}
+
+    for i in range(0, len(todo), buckets_per_job):
+        chunk = todo[i:i + buckets_per_job]
+        t0 = time.time()
+        part = media.filter(F.col("bucket").isin(chunk)) \
+                    .select("media_ref", "ctype", "payload")
+        meta = decode_media(part).withColumn("bucket", bucket_of)
+        write_bucketed(meta, os.path.join(output_dir, "media_meta"))
+        for op in ops:
+            if op in extra:
+                out = extra[op](part).withColumn("bucket", bucket_of)
+                write_bucketed(out,
+                               os.path.join(output_dir, f"media_{op}"))
+        wall = time.time() - t0
+
+        stats = (spark.read.parquet(os.path.join(output_dir, "media_meta"))
+                 .filter(F.col("bucket").isin(chunk))
+                 .groupBy("bucket")
+                 .agg(F.count("*").alias("n_media"),
+                      F.sum(F.when(F.col("ok") == "ok", 1).otherwise(0))
+                       .alias("n_decoded"),
+                      F.sum(F.when(F.col("ok") == "codec:unavailable", 1)
+                            .otherwise(0)).alias("n_codec_unavailable"),
+                      F.sum(F.when(F.col("ok").startswith("err:"), 1)
+                            .otherwise(0)).alias("n_errors"))
+                 .withColumn("run_id", F.lit(run_id))
+                 .withColumn("status", F.lit("committed"))
+                 .withColumn("wall_sec", F.lit(round(wall, 3))))
+        append_metrics(stats, out_metrics)
+        agg = stats.agg(F.sum("n_media"), F.sum("n_decoded"),
+                        F.sum("n_codec_unavailable"),
+                        F.sum("n_errors")).collect()[0]
+        summary["processed_buckets"].extend(chunk)
+        summary["n_media"] += agg[0] or 0
+        summary["n_decoded"] += agg[1] or 0
+        summary["n_codec_unavailable"] += agg[2] or 0
+        summary["n_errors"] += agg[3] or 0
+
+    return summary
+
+
 def run_job(spark: SparkSession, input_path: str, output_dir: str,
             oembed_path: str | None = None, media_path: str | None = None,
             n_buckets: int = 16, buckets_per_job: int = 4,
@@ -158,12 +234,26 @@ def main() -> None:
     ap.add_argument("--context-prepass", action="store_true",
                     help="run ONLY the remote-context fetch-list pre-pass "
                          "and exit (writes <output>/context_fetch_list)")
+    ap.add_argument("--media-job",
+                    help="run the multimodal stage instead of extraction: "
+                         "comma list of ops from decode,features,resize,"
+                         "frames (decode always included); --input is the "
+                         "media payload table")
     ap.add_argument("--master")
     args = ap.parse_args()
 
     from unfurl_spark.operators.pipeline import session
 
     spark = session(app="unfurl_spark_driver", master=args.master)
+    if args.media_job:
+        ops = tuple(o.strip() for o in args.media_job.split(",") if o.strip())
+        summary = run_media_job(spark, args.input, args.output, ops=ops,
+                                n_buckets=args.buckets,
+                                buckets_per_job=args.buckets_per_job,
+                                run_id=args.run_id)
+        print(json.dumps(summary))
+        spark.stop()
+        return
     if args.context_prepass:
         n = run_context_prepass(spark, args.input, args.output)
         print(json.dumps({"unresolved_context_urls": n,
