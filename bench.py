@@ -113,6 +113,23 @@ def run(sf_dir: str, cpus: int, n_docs: int | None = None) -> dict:
         "cpus": cpus,
     }
 
+    # --- multimodal decode stage (real codecs over the media table) --------
+    from unfurl_spark.functions.multimodal import decode_media
+
+    def media_once():
+        return (decode_media(med, num_partitions=cpus)
+                .agg(F.count("*").alias("n"),
+                     F.sum(F.when(F.col("ok") == "ok", 1).otherwise(0))
+                      .alias("n_dec")).collect()[0])
+
+    media_once()  # warmup
+    t0 = time.time()
+    m = media_once()
+    mdt = time.time() - t0
+    timings["media_decode"] = round(mdt, 3)
+    extraction["media_per_sec"] = round(m["n"] / mdt, 1)
+    extraction["n_media_decoded"] = m["n_dec"]
+
     # --- registry queries --------------------------------------------------
     for name in BENCH_QUERIES:
         fn, _ = QUERIES[name]
