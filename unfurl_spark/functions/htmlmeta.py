@@ -150,6 +150,7 @@ class MetaHandler(HTMLParser):
         self._script_jsonld = False
         self._script_parts: list[str] = []
         self._title_done = False
+        self._n_capture = 0  # open frames with text capture (gates handle_data)
         # content-block state (body_text strip)
         self._content = collect_content
         self.blocks: list[tuple[str, int, bool]] = []  # (text, link_chars, boiler)
@@ -262,6 +263,7 @@ class MetaHandler(HTMLParser):
         if tag == "title" and not self._title_done and frame is not None:
             frame.capture_text = True
             frame.text_parts = []
+            self._n_capture += 1
         elif tag == "meta":
             self._handle_meta(a)
         elif tag == "link":
@@ -355,6 +357,7 @@ class MetaHandler(HTMLParser):
         if frame.text_parts is None:
             frame.capture_text = True
             frame.text_parts = []
+            self._n_capture += 1
         slot: list = []
         node = self._rdfa_stack[-1]
         for iri in iris:
@@ -385,6 +388,8 @@ class MetaHandler(HTMLParser):
             self._close_frame(stack.pop())
 
     def _close_frame(self, frame: _Frame) -> None:
+        if frame.capture_text:
+            self._n_capture -= 1
         if frame.rdfa_node is not None and self._rdfa_stack and \
                 self._rdfa_stack[-1] is frame.rdfa_node:
             self._rdfa_stack.pop()
@@ -433,9 +438,10 @@ class MetaHandler(HTMLParser):
         if self._script_jsonld:
             self._script_parts.append(data)
             return
-        for frame in self._stack:
-            if frame.capture_text and frame.text_parts is not None:
-                frame.text_parts.append(data)
+        if self._n_capture:
+            for frame in self._stack:
+                if frame.capture_text and frame.text_parts is not None:
+                    frame.text_parts.append(data)
         if self._content and not self._c_skip and data.strip():
             # script/style run through _Frame c_skip except inline <script>
             # without jsonld type — those still open a frame in _C_SKIP
@@ -551,6 +557,8 @@ class MetaHandler(HTMLParser):
         else:
             text_prop = True
         if text_prop and frame is not None:
+            if not frame.capture_text:
+                self._n_capture += 1
             frame.capture_text = True
             frame.text_parts = []
             slot: list = []

@@ -42,11 +42,22 @@ _MARKEDCLOSE = re.compile(r"]\s*]\s*>")
 _MSMARKEDCLOSE = re.compile(r"]\s*>")
 _ATTR_CHARS = frozenset("abcdefghijklmnopqrstuvwxyz=/"
                         "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
-# bare-tag fast paths: one regex, no attribute machinery.  Equivalence to
-# the full path for these shapes: tagfind consumes the name (+no attr
-# junk), the attr loop finds nothing, end == '>' — asserted by the same
-# A/B tests that cover the general case.
-_SIMPLE_START = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)>")
+# fast-path tag shapes: one regex, no attribute machinery.  _FAST_TAG
+# recognizes the overwhelmingly common start-tag form — simple tag name,
+# zero or more `name="value"` attributes (double-quoted, charref-free,
+# whitespace-separated), optional self-close — whose stdlib parse is
+# provably identical: tagfind_tolerant yields the same name, the
+# attrfind_tolerant loop yields the same (name, value) pairs in order
+# (our name/value character classes are strict subsets of the stdlib's),
+# the '&'-free value makes unescape the identity, and the tail resolves
+# to end == '>' or '/>'.  Anything else falls through to the stdlib-
+# regex path in _starttag.  Equivalence is asserted by the A/B tests
+# (full fixture corpus + hypothesis) in tests/test_fast_tokenizer.py.
+_FAST_TAG = re.compile(
+    r'<([a-zA-Z][a-zA-Z0-9]*)'
+    r'((?:\s+[a-zA-Z][-a-zA-Z0-9_:.]*="[^"<>&]*")*)'
+    r'\s*(/?)>')
+_FAST_ATTR = re.compile(r'([a-zA-Z][-a-zA-Z0-9_:.]*)="([^"]*)"')
 _SIMPLE_END = re.compile(r"</([a-zA-Z][a-zA-Z0-9]*)>")
 
 
@@ -83,7 +94,7 @@ def _starttag(h, rawdata: str, i: int, n: int):
         elif attrvalue[:1] == "'" == attrvalue[-1:] or \
                 attrvalue[:1] == '"' == attrvalue[-1:]:
             attrvalue = attrvalue[1:-1]
-        if attrvalue:
+        if attrvalue and "&" in attrvalue:
             attrvalue = _unescape(attrvalue)
         attrs.append((attrname.lower(), attrvalue))
         k = am.end()
@@ -188,12 +199,19 @@ def drive(h, rawdata: str) -> None:
             i = j
         c = rawdata[i + 1] if i + 1 < n else ""
         if ("a" <= c <= "z") or ("A" <= c <= "Z"):
-            m = _SIMPLE_START.match(rawdata, i)
+            m = _FAST_TAG.match(rawdata, i)
             if m:
                 tag = m.group(1).lower()
-                h.handle_starttag(tag, ())
-                if tag in ("script", "style"):
-                    cdata_elem = tag
+                astr = m.group(2)
+                attrs = ([(an.lower(), av)
+                          for an, av in _FAST_ATTR.findall(astr)]
+                         if astr else ())
+                if m.group(3):
+                    h.handle_startendtag(tag, attrs)
+                else:
+                    h.handle_starttag(tag, attrs)
+                    if tag in ("script", "style"):
+                        cdata_elem = tag
                 i = m.end()
                 continue
             k, new_cdata = _starttag(h, rawdata, i, n)
