@@ -427,6 +427,71 @@ WHERE NOT EXISTS (SELECT 1 FROM dupes x WHERE x.doc_id = d.doc_id)
 _q("dedup_apply_keep", _MINHASH_CTE + _KEEP_BODY,
    _MINHASH_CTE_DUCK + _KEEP_BODY)
 
+# signature-space Jaccard estimate — the production-scale verifier: LSH
+# band buckets propose candidate pairs, then similarity is estimated from
+# minhash component agreement alone (E[matches/k] = true Jaccard), so the
+# shingle table is never re-joined.  Every join is an equi-join on
+# band_key / doc_id; pair count is bounded by bucket co-membership, never
+# all-pairs.  Complements dedup_ngram_jaccard (the exact verifier).
+_SIGJACC_MATCHES = " + ".join(
+    "(CASE WHEN sa.h%d = sb.h%d THEN 1 ELSE 0 END)" % (i, i)
+    for i in range(8))
+_SIGJACC_BODY = """
+, sig AS (
+%s
+), bands AS (
+  SELECT doc_id, md5(concat(h0, h1, h2, h3)) AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, md5(concat(h4, h5, h6, h7)) AS band_key FROM sig
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       round(CAST(%s AS DOUBLE) / 8.0, 4) AS est_jaccard
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b
+""" % (_MINHASH_BODY, _SIGJACC_MATCHES)
+_q("dedup_signature_jaccard", _MINHASH_CTE + _SIGJACC_BODY,
+   _MINHASH_CTE_DUCK + _SIGJACC_BODY)
+
+# set-operation family (INTERSECT / EXCEPT — distinct semantics in both
+# engines): which docs each dedup method flags, and where they disagree.
+# Both flag sets are hash-group products; the set ops shuffle on doc_id.
+_AGREE_BODY = """
+, sig AS (
+%s
+), bands AS (
+  SELECT doc_id, md5(concat(h0, h1, h2, h3)) AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, md5(concat(h4, h5, h6, h7)) AS band_key FROM sig
+), exact_d AS (
+  SELECT d.doc_id
+  FROM documents d
+  JOIN (SELECT md5(text) AS fp FROM documents GROUP BY md5(text)
+        HAVING count(*) > 1) g
+    ON md5(d.text) = g.fp
+), lsh_d AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands b
+  JOIN (SELECT band_key FROM bands GROUP BY band_key
+        HAVING count(*) > 1) bb
+    ON b.band_key = bb.band_key
+)
+SELECT 'both' AS method, doc_id
+FROM (SELECT doc_id FROM exact_d INTERSECT SELECT doc_id FROM lsh_d)
+UNION ALL
+SELECT 'exact_only' AS method, doc_id
+FROM (SELECT doc_id FROM exact_d EXCEPT SELECT doc_id FROM lsh_d)
+UNION ALL
+SELECT 'lsh_only' AS method, doc_id
+FROM (SELECT doc_id FROM lsh_d EXCEPT SELECT doc_id FROM exact_d)
+""" % _MINHASH_BODY
+_q("dedup_methods_agreement", _MINHASH_CTE + _AGREE_BODY,
+   _MINHASH_CTE_DUCK + _AGREE_BODY)
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 
@@ -649,6 +714,24 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
             AS BIGINT) AS bpe_ish_tokens
 FROM documents
+""")
+
+# corpus length histogram — integer-division buckets (deterministic across
+# engines, unlike float log binning); one hash-group pass, scale-free.
+_q("text_length_histogram", """
+SELECT CAST(size(split(text, ' ')) DIV 10 AS BIGINT) AS bucket,
+       count(*) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY size(split(text, ' ')) DIV 10
+""", """
+SELECT CAST(len(string_split(text, ' ')) // 10 AS BIGINT) AS bucket,
+       count(*) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY len(string_split(text, ' ')) // 10
 """)
 
 _q("text_quality_score", """
