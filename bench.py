@@ -27,6 +27,7 @@ BENCH_QUERIES = (
     "dedup_minhash_lsh_buckets",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_signature_jaccard",
     "dedup_apply_keep",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
