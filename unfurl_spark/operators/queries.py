@@ -716,6 +716,40 @@ SELECT doc_id,
 FROM documents
 """)
 
+# UNPIVOT (melt) — wide measure columns to long (measure, val) form, the
+# standard reshape before per-measure stats; same SQL text parses in both
+# engines.  DECIMAL sums make the aggregate order-independent, so the
+# salted/partial/plain plans all hash-match.
+_q("lineitem_unpivot_measures", """
+SELECT measure,
+       CAST(round(sum(CAST(val AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
+FROM lineitem UNPIVOT (val FOR measure IN
+  (l_quantity, l_extendedprice, l_discount, l_tax))
+GROUP BY measure
+""")
+
+# skew-defused aggregation — the two-level salted GROUP BY used when one
+# key dominates (a viral doc, a bot user): partial agg on (key, salt)
+# spreads the hot key over 16 reducers, the tiny re-agg collapses it.
+# DECIMAL partials make the result bit-identical to the plain GROUP BY
+# oracle regardless of addition order.
+_q("events_salted_agg", """
+SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(round(sum(v), 2) AS DOUBLE) AS total_value
+FROM (
+  SELECT event_type, pmod(hash(event_id), 16) AS salt,
+         count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS v
+  FROM events
+  GROUP BY event_type, pmod(hash(event_id), 16)
+)
+GROUP BY event_type
+""", """
+SELECT event_type, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS total_value
+FROM events GROUP BY event_type
+""")
+
 # corpus length histogram — integer-division buckets (deterministic across
 # engines, unlike float log binning); one hash-group pass, scale-free.
 _q("text_length_histogram", """
