@@ -100,7 +100,7 @@ def run(sf_dir: str, cpus: int, n_docs: int | None = None) -> dict:
 
     extract_once()  # warmup
     dt = float("inf")
-    for _ in range(2):
+    for _ in range(3):  # best-of-3: the headline metric vs host noise
         t0 = time.time()
         agg = extract_once()
         dt = min(dt, time.time() - t0)
@@ -124,9 +124,11 @@ def run(sf_dir: str, cpus: int, n_docs: int | None = None) -> dict:
                       .alias("n_dec")).collect()[0])
 
     media_once()  # warmup
-    t0 = time.time()
-    m = media_once()
-    mdt = time.time() - t0
+    mdt = float("inf")
+    for _ in range(2):  # best-of-2: this host has noisy-neighbor windows
+        t0 = time.time()
+        m = media_once()
+        mdt = min(mdt, time.time() - t0)
     timings["media_decode"] = round(mdt, 3)
     extraction["media_per_sec"] = round(m["n"] / mdt, 1)
     extraction["n_media_decoded"] = m["n_dec"]
@@ -135,9 +137,12 @@ def run(sf_dir: str, cpus: int, n_docs: int | None = None) -> dict:
     for name in BENCH_QUERIES:
         fn, _ = QUERIES[name]
         fn(spark, sf_dir).collect()  # warmup: parquet listing + codegen
-        t0 = time.time()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2 vs noisy-neighbor windows
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     spark.stop()
     total = round(sum(timings.values()), 3)
