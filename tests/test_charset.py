@@ -10,8 +10,14 @@ from unfurl_spark.sources.fixtures import page_to_spans
 
 def test_sniff_order():
     assert sniff_charset(b"\xef\xbb\xbfhello") == "utf-8-sig"
-    assert sniff_charset(b"\xff\xfeh\x00") == "utf-16-le"
-    assert sniff_charset(b"\xfe\xff\x00h") == "utf-16-be"
+    # plain utf-16 consumes the BOM (utf-16-le/-be would leak U+FEFF
+    # into the decoded document text)
+    assert sniff_charset(b"\xff\xfeh\x00") == "utf-16"
+    assert sniff_charset(b"\xfe\xff\x00h") == "utf-16"
+    assert decode_html(b"\xff\xfe" + "<title>hi</title>".encode("utf-16-le")
+                       ) == "<title>hi</title>"
+    assert decode_html(b"\xfe\xff" + "<title>hi</title>".encode("utf-16-be")
+                       ) == "<title>hi</title>"
     assert sniff_charset(b"<html>", "text/html; charset=ISO-8859-1") == \
         "latin-1"
     assert sniff_charset(
@@ -111,3 +117,14 @@ def test_decode_never_raises_property():
         assert isinstance(out, str)
 
     check()
+
+
+def test_utf16_bom_not_leaked_into_title():
+    """A BOM-prefixed UTF-16 page must not leak U+FEFF into the decoded
+    document (utf-16-le/-be codecs would emit it as leading text)."""
+    html = "<html><head><title>hi</title></head></html>"
+    for enc, bom in (("utf-16-le", b"\xff\xfe"), ("utf-16-be", b"\xfe\xff")):
+        page = _page(bom + html.encode(enc), "text/html")
+        row = page_to_spans(page)
+        text = row["spans"][0]["text"]
+        assert text == html and "﻿" not in text

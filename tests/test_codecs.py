@@ -281,3 +281,21 @@ def test_gif_transparency_composites_over_previous():
     raw[second + 6] = 0       # transparent index 0 (color 10)
     frames = C.decode_gif_frames(bytes(raw))
     assert (frames[1][1] == 10).all()  # shows through, not black
+
+
+def test_total_catches_valueerror_reshape():
+    """numpy reshape/int() faults inside decoders must surface as the
+    typed CodecError, not escape as raw ValueError (which crashed the
+    whole Arrow stage through sample_frames' narrower except)."""
+    import pytest
+
+    from unfurl_spark.functions import codecs as C
+
+    # GIF with a truncated global color table -> reshape ValueError
+    gif = (b"GIF89a" + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+           + bytes([0x80, 0, 0]) + b"\x01\x02\x03\x04")
+    with pytest.raises(C.CodecError):
+        C.decode_gif_frames(gif)
+    # PPM with a non-numeric header token -> int() ValueError
+    with pytest.raises(C.CodecError):
+        C.decode_ppm(b"P6 ab 4 255\n\x00")

@@ -184,3 +184,16 @@ def test_sample_frames_real_gif_animation(spark):
     stub = [r for r in rows if r["media_ref"] == "vid.bin"]
     assert len(stub) == 3
     assert all(r["ok"] == "codec:unavailable" for r in stub)
+
+
+def test_decode_media_null_payload_records_err(spark):
+    """A NULL payload row (failed fetch) yields an err lineage row — it
+    must not TypeError the whole Arrow batch (F.length of NULL is NULL)."""
+    df = spark.createDataFrame(
+        [("ref-null", "image/png", None),
+         ("ref-ok", "image/png", encode_png(np.zeros((2, 2, 3), dtype=np.uint8)))],
+        "media_ref string, ctype string, payload binary")
+    rows = {r.media_ref: r for r in decode_media(df, num_partitions=2)
+            .collect()}
+    assert rows["ref-ok"].ok == "ok"
+    assert rows["ref-null"].ok.startswith(("err:", "codec:"))

@@ -68,3 +68,11 @@ def test_load_registry_roundtrip():
     finally:
         op.load_registry(bundled)
     assert op.discovery_href("https://www.ted.com/talks/x") is not None
+
+
+def test_scheme_star_stays_inside_authority():
+    """A host-segment `*` must not span `/` — a foreign host whose PATH
+    contains `.youtube.com/` is not claimed by the youtube scheme, and a
+    scheme match covers the WHOLE url (both ends anchored)."""
+    assert op.discovery_href(
+        "http://evil.example.com/a.youtube.com/watch?v=x") is None

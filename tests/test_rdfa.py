@@ -70,3 +70,26 @@ def test_property_content_beats_text():
     nodes = _rdfa(html)
     ev = next(n for n in nodes if n.get("@type") == [SCHEMA + "Event"])
     assert ev[SCHEMA + "name"] == ["Exact"]
+
+
+def test_rdfa_and_itemprop_share_text_capture():
+    """An element carrying BOTH an RDFa text property and a microdata
+    itemprop must feed the same captured text to both slots (the
+    microdata path used to replace frame.text_parts, orphaning the
+    RDFa slot into an empty literal)."""
+    html = ('<div itemscope itemtype="https://schema.org/Person">'
+            '<span property="schema:name" itemprop="name">Alice</span>'
+            '</div>')
+    r = parse_html(html, "http://x.test/")
+    assert r["rdfa"][0].get("http://schema.org/name") == ["Alice"]
+    assert r["microdata"][0]["https://schema.org/name"] == ["Alice"]
+
+
+def test_vocab_on_void_element_does_not_leak():
+    """@vocab on a void element scopes to that element only — a later
+    bare-term property must NOT resolve against it."""
+    html = ('<input vocab="http://ex.org/">'
+            '<span property="title">x</span>')
+    r = parse_html(html, "http://x.test/")
+    nodes = r.get("rdfa") or []
+    assert not any("http://ex.org/title" in n for n in nodes)

@@ -107,3 +107,27 @@ def test_ok_column_parity_on_weird_payloads(spark, repeat_ref_docs):
     oa = {r.doc_id: r.ok for r in a.collect()}
     ob = {r.doc_id: r.ok for r in b.collect()}
     assert oa == ob == {"d1": "ok", "d2": "ok"}
+
+
+def test_same_ref_as_media_and_pdf_no_fanout(spark):
+    """One doc referencing the SAME payload under both 'media' and 'pdf'
+    span kinds: the overlay join must stay one-row-per-(doc,ref) — two
+    pair rows would double every matching span in the rebuilt array."""
+    html = ("<html><head><title>T</title></head>"
+            "<body><p>hello world body text</p></body></html>")
+    pdf = b"%PDF-1.4\n%%EOF\n"
+    docs = _docs(spark, [
+        ("d1", [("html", html, "https://ex.com/a", 0),
+                ("media", None, "https://ex.com/f.pdf", 1),
+                ("pdf", None, "https://ex.com/f.pdf", 2)]),
+    ])
+    media = spark.createDataFrame(
+        [("https://ex.com/f.pdf", "application/pdf", pdf)],
+        "media_ref string, ctype string, payload binary")
+    a = extract_spans(docs, media_df=media, num_partitions=2)
+    b = extract_spans_media_join(docs, media, num_partitions=2)
+    ra = {r.doc_id: [tuple(s) for s in r.spans] for r in a.collect()}
+    rb = {r.doc_id: [tuple(s) for s in r.spans] for r in b.collect()}
+    assert ra == rb
+    offsets = [s[3] for s in rb["d1"]]
+    assert len(offsets) == len(set(offsets))  # no duplicated span rows

@@ -92,10 +92,10 @@ def sniff_charset(data: bytes, content_type: str | None = None) -> str:
     """Detect the charset of an HTML byte payload (never raises)."""
     if data[:3] == b"\xef\xbb\xbf":
         return "utf-8-sig"
-    if data[:2] == b"\xff\xfe":
-        return "utf-16-le"
-    if data[:2] == b"\xfe\xff":
-        return "utf-16-be"
+    # the plain 'utf-16' codec consumes the BOM it detects (the -le/-be
+    # variants would emit a stray U+FEFF as leading document text)
+    if data[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"
     if content_type:
         m = _CT_CHARSET.search(content_type.encode("ascii", "ignore"))
         if m:

@@ -61,7 +61,12 @@ def total(fn):
         except (CodecError, CodecUnavailable):
             raise
         except (struct.error, IndexError, KeyError, OverflowError,
-                ZeroDivisionError, zlib.error, UnicodeDecodeError) as exc:
+                ZeroDivisionError, zlib.error, UnicodeDecodeError,
+                # ValueError catches numpy reshape/broadcast faults and
+                # int() header-token parses; CodecError (a ValueError
+                # subclass) is already re-raised above, so the typed
+                # contract is preserved
+                ValueError) as exc:
             raise CodecError(
                 f"{fn.__name__}: malformed payload ({exc})") from exc
     return wrapped

@@ -310,9 +310,15 @@ class MetaHandler(HTMLParser):
     def _rdfa_element(self, a: dict, frame: _Frame | None) -> None:
         """One RDFa-bearing element (htmlmetaparser builds the same node
         tree from these attributes; semantics follow RDFa Lite)."""
+        void_prev_vocab = _UNSET  # restore-at-return for frameless elements
         if a.get("vocab"):
             if frame is not None:
                 frame.rdfa_prev_vocab = self._rdfa_vocab
+            else:
+                # void element: @vocab scopes to this element only (it has
+                # no descendants) — restore before returning, else the
+                # vocab would leak to the rest of the document
+                void_prev_vocab = self._rdfa_vocab
             self._rdfa_vocab = a["vocab"].strip()
         new_node: dict | None = None
         if "typeof" in a:
@@ -347,6 +353,8 @@ class MetaHandler(HTMLParser):
                 frame.rdfa_node = new_node
                 self._rdfa_stack.append(new_node)
             # void element: subject scope closes immediately — no push
+        if void_prev_vocab is not _UNSET:
+            self._rdfa_vocab = void_prev_vocab
 
     def _rdfa_text_prop(self, frame: _Frame, prop_attr: str) -> None:
         """property with no content/resource: the element's text content
@@ -557,19 +565,18 @@ class MetaHandler(HTMLParser):
         else:
             text_prop = True
         if text_prop and frame is not None:
-            if not frame.capture_text:
+            # reuse an existing capture list (an RDFa text property on the
+            # same element already registered one — replacing it would
+            # orphan that slot and silently blank the RDFa literal)
+            if frame.text_parts is None:
+                frame.capture_text = True
+                frame.text_parts = []
                 self._n_capture += 1
-            frame.capture_text = True
-            frame.text_parts = []
             slot: list = []
             for k in keys:
                 node.setdefault(k, []).append(slot)
-            # register finalizer: on close, fold text into slot
-            parts = frame.text_parts
-
-            def _fold(parts=parts, slot=slot):
-                slot.append(_WS.sub(" ", "".join(parts)).strip())
-            self._pending_text.append((frame, slot, parts))
+            # on close the shared slot path folds text_parts into slot
+            self._pending_text.append((frame, slot, frame.text_parts))
             return
         if value is None:
             return

@@ -156,7 +156,7 @@ def decode_media(df: DataFrame,
                 data = head or b""
                 c = _sniff(data)
                 w, h = _dims(c, data)
-                if n > len(data):
+                if (n or 0) > len(data):  # n is None for NULL payloads
                     ok = "capped:header-only"
                 else:
                     try:

@@ -205,11 +205,23 @@ PROVIDERS: list[dict] = [
 
 
 def _compile_scheme(glob: str) -> re.Pattern:
-    """providers.json scheme glob → anchored regex.  `*` spans any chars
-    (the registry uses it for path slugs, subdomains, and query tails);
-    the whole URL must match from the start."""
-    parts = [re.escape(p) for p in glob.split("*")]
-    return re.compile("^" + ".*".join(parts))
+    """providers.json scheme glob → fully-anchored regex.  A `*` in the
+    authority (host) segment matches within that segment only (`[^/]*`) —
+    `http://*.youtube.com/...` must not match a foreign host whose PATH
+    happens to contain `.youtube.com/` — while path/query `*`s span any
+    chars (slugs, tails).  Both ends anchored: a scheme claims whole
+    URLs, not prefixes."""
+    m = re.match(r"[a-z][a-z0-9+.-]*://", glob)
+    head = m.group(0) if m else ""
+    rest = glob[len(head):]
+    slash = rest.find("/")
+    auth, path = (rest, "") if slash == -1 else (rest[:slash], rest[slash:])
+
+    def _tr(segment: str, star: str) -> str:
+        return star.join(re.escape(p) for p in segment.split("*"))
+
+    return re.compile(
+        "^" + re.escape(head) + _tr(auth, "[^/]*") + _tr(path, ".*") + "$")
 
 
 class _Compiled:

@@ -514,7 +514,14 @@ def extract_spans_media_join(
              .select("doc_id",
                      F.col("mk.media_refs").alias("media_ref"),
                      F.col("mk.media_kinds").alias("media_kind"))
-             .distinct()
+             # ONE row per (doc, ref) even when the doc uses the ref under
+             # both 'media' and 'pdf' kinds — two rows would double every
+             # overlay match below.  'pdf' wins (max: 'pdf' > 'media') so
+             # pdf_text is computed whenever any use needs it; the overlay
+             # reads media_text/pdf_text by span kind, so a merged row
+             # serves both.
+             .groupBy("doc_id", "media_ref")
+             .agg(F.max("media_kind").alias("media_kind"))
              .join(dedup_on_key(
                        media_df.select("media_ref", "ctype", "payload"),
                        "media_ref"),
