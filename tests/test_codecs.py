@@ -299,3 +299,21 @@ def test_total_catches_valueerror_reshape():
     # PPM with a non-numeric header token -> int() ValueError
     with pytest.raises(C.CodecError):
         C.decode_ppm(b"P6 ab 4 255\n\x00")
+
+
+def test_jpeg_cmyk_frame_unavailable():
+    """4-component (Adobe CMYK/YCCK) frames must raise CodecUnavailable,
+    not silently decode the first 3 planes as YCbCr garbage."""
+    import struct
+
+    import pytest
+
+    from unfurl_spark.functions import codecs as C
+    from unfurl_spark.functions.jpegc import decode_jpeg
+
+    sof = struct.pack(">BHHB", 8, 4, 4, 4) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0])
+    jpg = (b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+           + b"\xff\xd9")
+    with pytest.raises(C.CodecUnavailable):
+        decode_jpeg(jpg)

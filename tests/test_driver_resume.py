@@ -73,3 +73,42 @@ def test_crash_midway_then_resume(spark, corpus, tmp_path, monkeypatch):
     spans = spark.read.parquet(out + "/spans")
     assert spans.count() == 200
     assert spans.select("doc_id").distinct().count() == 200
+
+
+def test_empty_buckets_still_commit(spark, corpus, tmp_path):
+    """Buckets that receive zero docs (tiny corpus, many buckets) must
+    still get a committed metrics row — else every restart reprocesses
+    them forever — and an all-empty first chunk must not crash the
+    metrics read-back on schema inference."""
+    out = str(tmp_path / "out_empty")
+    # 3 docs over 64 buckets: most buckets are empty
+    docs = spark.read.parquet(corpus["documents_raw"]).limit(3)
+    small = str(tmp_path / "small.parquet")
+    docs.write.parquet(small)
+    s = run_job(spark, small, out, n_buckets=64, buckets_per_job=16,
+                run_id="empty1")
+    assert len(s["processed_buckets"]) == 64
+    metrics = spark.read.parquet(out + "/metrics")
+    assert metrics.filter("status = 'committed'") \
+                  .select("bucket").distinct().count() == 64
+    # resume: nothing left
+    s2 = run_job(spark, small, out, n_buckets=64, buckets_per_job=16,
+                 run_id="empty2")
+    assert s2["processed_buckets"] == []
+
+
+def test_bucket_count_change_invalidates_done_set(spark, corpus, tmp_path):
+    """Metrics rows committed under a different --buckets modulus name
+    different doc sets — a resume with a new modulus must reprocess
+    everything (dynamic overwrite self-heals the layout)."""
+    out = str(tmp_path / "out_mod")
+    run_job(spark, corpus["documents_raw"], out, n_buckets=4,
+            buckets_per_job=4, run_id="m4")
+    s = run_job(spark, corpus["documents_raw"], out, n_buckets=8,
+                buckets_per_job=8, run_id="m8")
+    assert s["resumed_buckets"] == []          # old rows ignored
+    assert sorted(s["processed_buckets"]) == list(range(8))
+    # no duplicated docs after the modulus change
+    assert spark.read.parquet(out + "/spans") \
+                .select("doc_id").distinct().count() == 200
+    assert spark.read.parquet(out + "/spans").count() == 200

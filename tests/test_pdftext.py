@@ -124,3 +124,27 @@ def test_real_pdf_boilerplate_pass_keeps_content():
     txt = pdf_text(_fixture("moral-fn"))
     # body survives the layout pass
     assert "configures" in txt and "Phillip Rogaway" in txt
+
+
+def test_cr_is_newline_but_tex_fl_survives():
+    """0x0D doubles as carriage return AND the OT1 'fl' ligature: map it
+    to 'fl' only between letters (the TeX shape); a CR elsewhere is an
+    EOL (PDF 7.3.4.2), never a spliced 'fl'."""
+    assert _run_text_machine(rb"BT (in\015uence) Tj ET") == "influence"
+    txt = _run_text_machine(rb"BT (line1\015line2) Tj ET")
+    assert "fl" not in txt and "line1" in txt and "line2" in txt
+
+
+def test_page_number_strip_only_at_block_edges():
+    from unfurl_spark.functions.pdftext import strip_page_boilerplate
+    blocks = [
+        "Heading\nOn Liberty by Mill\ndid\n2020 was a year\niv",
+        "Heading\nMill wrote more\ncivil\nanother line here\nv",
+        "Heading\nfinal page prose\nmix\nclosing words\nvi",
+    ]
+    out = strip_page_boilerplate(blocks)
+    joined = "\n".join(out)
+    # interior one-word roman-lookalike lines survive ...
+    assert "did" in joined and "civil" in joined and "mix" in joined
+    # ... while the bare roman page numbers at the block edge are gone
+    assert "\niv" not in joined and "\nvi" not in joined

@@ -98,3 +98,45 @@ def test_stateful_sessionize_matches_batch_twin(spark, event_files,
         assert g[key][0] == r["n_events"]
         assert g[key][1] == r["session_start"]
         assert g[key][2] == r["session_end"]
+
+
+def test_sessionize_group_larger_than_arrow_batch(spark, tmp_path):
+    """A user with more events than one Arrow batch (2048) arrives at the
+    stateful kernel as SEVERAL pandas chunks in arbitrary order — the
+    kernel must sort globally, not per chunk (per-chunk sort produced
+    negative gaps and phantom session splits)."""
+    import random
+
+    from pyspark.sql import Row
+
+    random.seed(11)
+    # 5000 events, one user, 10-minute steps with three 3-hour gaps;
+    # write in SHUFFLED order so chunk order cannot accidentally be sorted
+    base = 1_600_000_000
+    ts = []
+    t = base
+    for i in range(5000):
+        t += 600 + (10800 if i in (1500, 3000, 4500) else 0)
+        ts.append(t)
+    random.shuffle(ts)
+    rows = [Row(user_id=7, ts=__import__("datetime").datetime.utcfromtimestamp(x))
+            for x in ts]
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(rows).coalesce(1).write.parquet(in_dir)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events = (spark.readStream.schema("user_id long, ts timestamp")
+              .format("parquet").load(in_dir))
+    q = (sessionize(events, gap_minutes=120)
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = {r["session_id"]: r["n_events"]
+           for r in spark.read.parquet(out).collect()}
+    exp = {r["session_id"]: r["n_events"]
+           for r in batch_sessionize(
+               spark.read.parquet(in_dir), gap_minutes=120).collect()}
+    assert got == exp and len(got) == 3

@@ -212,6 +212,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 i += 17 + nval
         elif marker in (0xC0, 0xC1):  # SOF0/1 baseline/extended seq
             _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if nc not in (1, 3):
+                # 4-component Adobe CMYK/YCCK (and exotic 2-component)
+                # frames would silently decode the first 3 planes as
+                # YCbCr — garbage pixels flagged ok.  Out of scope.
+                raise CodecUnavailable(f"jpeg: {nc}-component frame")
             comps = []
             for ci in range(nc):
                 cid, sampling, qid = body[6 + 3 * ci:9 + 3 * ci]

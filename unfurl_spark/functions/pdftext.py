@@ -237,10 +237,17 @@ def _run_text_machine(content: bytes) -> str:
     newline()
     text = "\n".join(ln.decode("latin-1") for ln in lines if ln)
     # TeX OT1/Type1 text fonts put ligatures at 0x0B-0x0F ("con\x0cgures"
-    # → "configures"); those bytes are never legitimate prose
-    for raw, lig in (("\x0b", "ff"), ("\x0c", "fi"), ("\x0d", "fl"),
+    # → "configures"); 0x0B/0x0C/0x0E/0x0F are never legitimate prose.
+    # 0x0D is ambiguous — it is ALSO a carriage return (a raw EOL inside
+    # a PDF literal string means line feed, spec 7.3.4.2) — so map it to
+    # 'fl' only in the TeX shape (letters on both sides) and to a
+    # newline otherwise.
+    for raw, lig in (("\x0b", "ff"), ("\x0c", "fi"),
                      ("\x0e", "ffi"), ("\x0f", "ffl")):
         text = text.replace(raw, lig)
+    if "\x0d" in text:
+        text = re.sub(r"(?<=[A-Za-z])\x0d(?=[A-Za-z])", "fl", text)
+        text = text.replace("\x0d", "\n")
     return text
 
 
@@ -308,8 +315,13 @@ def strip_page_boilerplate(blocks: list[str]) -> list[str]:
     running = {ln for ln, n in freq.items() if n >= floor}
     out = []
     for b in blocks:
-        kept = [ln for ln in b.split("\n")
-                if ln.strip() not in running and not _PAGE_NO.match(ln)]
+        lines = b.split("\n")
+        n = len(lines)
+        # bare page-number lines live at the page EDGES — matching
+        # anywhere would delete real prose ('Mill', 'civil', a bare year)
+        kept = [ln for i, ln in enumerate(lines)
+                if ln.strip() not in running
+                and not ((i < 2 or i >= n - 2) and _PAGE_NO.match(ln))]
         if any(ln.strip() for ln in kept):
             out.append("\n".join(kept))
     return out

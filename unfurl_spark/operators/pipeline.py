@@ -81,6 +81,11 @@ def session(app: str = "unfurl_spark", master: str | None = None,
         # comfortably holds 32 concurrent document-batch tasks
         b.config("spark.driver.memory", "16g")
         .config("spark.driver.maxResultSize", "8g")
+        # pin the SQL timezone: pandas-side kernels (the stateful
+        # sessionizer) read tz-naive timestamps rendered in the SESSION
+        # zone and re-emit them as UTC instants — on a non-UTC host the
+        # default (JVM local zone) would shift every emitted timestamp
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

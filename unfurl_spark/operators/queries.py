@@ -406,12 +406,12 @@ _q("dedup_ngram_jaccard", _MINHASH_CTE + _JACCARD_BODY,
 # LeftAnti in Spark).  Shuffles on doc_id only; the dupe set is tiny
 # relative to the corpus, so AQE broadcasts it at scale.
 _KEEP_BODY = """
-, bands AS (
-  SELECT doc_id, md5(concat(h0, h1, h2, h3)) AS band_key
-  FROM (%s) sig
+, sig AS (
+%s
+), bands AS (
+  SELECT doc_id, md5(concat(h0, h1, h2, h3)) AS band_key FROM sig
   UNION ALL
-  SELECT doc_id, md5(concat(h4, h5, h6, h7)) AS band_key
-  FROM (%s) sig
+  SELECT doc_id, md5(concat(h4, h5, h6, h7)) AS band_key FROM sig
 ), dupes AS (
   SELECT doc_id FROM (
     SELECT doc_id,
@@ -423,7 +423,7 @@ _KEEP_BODY = """
 SELECT d.doc_id, d.lang, d.source
 FROM documents d
 WHERE NOT EXISTS (SELECT 1 FROM dupes x WHERE x.doc_id = d.doc_id)
-""" % (_MINHASH_BODY, _MINHASH_BODY)
+""" % _MINHASH_BODY
 _q("dedup_apply_keep", _MINHASH_CTE + _KEEP_BODY,
    _MINHASH_CTE_DUCK + _KEEP_BODY)
 
@@ -890,8 +890,11 @@ GROUP BY ROLLUP(date_trunc('day', ts), hour(ts))
 # algorithms must agree row-for-row.
 _q("asof_join_last_error", """
 WITH err AS (
-  SELECT user_id, ts, event_id AS err_id
+  -- one row per (user, ts): two errors sharing a timestamp would make
+  -- both the window's last_value and DuckDB's ASOF pick arbitrarily
+  SELECT user_id, ts, max(event_id) AS err_id
   FROM events WHERE event_type = 'error' AND user_id < 40
+  GROUP BY user_id, ts
 ), clicks AS (
   SELECT user_id, ts, event_id
   FROM events WHERE event_type = 'click' AND user_id < 40
@@ -915,8 +918,9 @@ FROM filled WHERE side = 1
 SELECT c.event_id, c.user_id, e.err_id AS last_err_id
 FROM (SELECT user_id, ts, event_id
       FROM events WHERE event_type = 'click' AND user_id < 40) c
-ASOF LEFT JOIN (SELECT user_id, ts, event_id AS err_id
-                FROM events WHERE event_type = 'error' AND user_id < 40) e
+ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS err_id
+                FROM events WHERE event_type = 'error' AND user_id < 40
+                GROUP BY user_id, ts) e
   ON c.user_id = e.user_id AND c.ts >= e.ts
 """)
 

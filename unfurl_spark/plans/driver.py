@@ -32,14 +32,49 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
-def _done_buckets(spark: SparkSession, metrics_dir: str) -> set[int]:
+def _done_buckets(spark: SparkSession, metrics_dir: str,
+                  n_buckets: int) -> set[int]:
+    """Committed buckets for THIS bucketing scheme.  Rows written under a
+    different --buckets value are ignored: bucket ids from another modulus
+    name different document sets, so honoring them would skip or duplicate
+    docs.  A full re-run under the new modulus rewrites every partition
+    (dynamic overwrite), which self-heals the layout."""
     try:
         m = spark.read.parquet(metrics_dir)
     except Exception:  # noqa: BLE001 — first run, no metrics yet
         return set()
-    rows = m.filter(F.col("status") == "committed") \
-            .select("bucket").distinct().collect()
+    if "n_buckets" not in m.columns:  # pre-versioned metrics: invalidate
+        return set()
+    rows = (m.filter((F.col("status") == "committed")
+                     & (F.col("n_buckets") == n_buckets))
+            .select("bucket").distinct().collect())
     return {r["bucket"] for r in rows}
+
+
+def _chunk_stats(spark: SparkSession, data_dir: str, chunk: list[int],
+                 agg_exprs: list, zero_cols: dict):
+    """Per-bucket stats for a committed chunk, read back from the data
+    table.  Total over two edge cases: a bucket with ZERO rows still gets
+    a committed metrics row (else resume would reprocess it forever), and
+    a data dir with no parquet files yet (every bucket in the first chunk
+    empty) must not crash schema inference."""
+    buckets = spark.createDataFrame([(int(b),) for b in chunk],
+                                    "bucket int")
+    try:
+        agg = (spark.read.parquet(data_dir)
+               .filter(F.col("bucket").isin(chunk))
+               .groupBy("bucket").agg(*agg_exprs))
+    except Exception:  # noqa: BLE001 — empty table, no schema
+        agg = None
+    if agg is None:
+        out = buckets
+        for name, zero in zero_cols.items():
+            out = out.withColumn(name, F.lit(zero))
+        return out
+    out = buckets.join(agg, "bucket", "left")
+    for name, zero in zero_cols.items():
+        out = out.withColumn(name, F.coalesce(F.col(name), F.lit(zero)))
+    return out
 
 
 def run_context_prepass(spark: SparkSession, input_path: str,
@@ -87,7 +122,7 @@ def run_media_job(spark: SparkSession, media_path: str, output_dir: str,
                        F.lit(n_buckets)).cast("int")
 
     media = read_table(spark, media_path).withColumn("bucket", bucket_of)
-    done = _done_buckets(spark, out_metrics)
+    done = _done_buckets(spark, out_metrics, n_buckets)
     todo = [b for b in range(n_buckets) if b not in done]
     summary = {"run_id": run_id, "resumed_buckets": sorted(done),
                "processed_buckets": [], "n_media": 0, "n_decoded": 0,
@@ -111,18 +146,20 @@ def run_media_job(spark: SparkSession, media_path: str, output_dir: str,
                                os.path.join(output_dir, f"media_{op}"))
         wall = time.time() - t0
 
-        stats = (spark.read.parquet(os.path.join(output_dir, "media_meta"))
-                 .filter(F.col("bucket").isin(chunk))
-                 .groupBy("bucket")
-                 .agg(F.count("*").alias("n_media"),
-                      F.sum(F.when(F.col("ok") == "ok", 1).otherwise(0))
-                       .alias("n_decoded"),
-                      F.sum(F.when(F.col("ok") == "codec:unavailable", 1)
-                            .otherwise(0)).alias("n_codec_unavailable"),
-                      F.sum(F.when(F.col("ok").startswith("err:"), 1)
-                            .otherwise(0)).alias("n_errors"))
+        stats = (_chunk_stats(
+                    spark, os.path.join(output_dir, "media_meta"), chunk,
+                    [F.count("*").alias("n_media"),
+                     F.sum(F.when(F.col("ok") == "ok", 1).otherwise(0))
+                      .alias("n_decoded"),
+                     F.sum(F.when(F.col("ok") == "codec:unavailable", 1)
+                           .otherwise(0)).alias("n_codec_unavailable"),
+                     F.sum(F.when(F.col("ok").startswith("err:"), 1)
+                           .otherwise(0)).alias("n_errors")],
+                    {"n_media": 0, "n_decoded": 0,
+                     "n_codec_unavailable": 0, "n_errors": 0})
                  .withColumn("run_id", F.lit(run_id))
                  .withColumn("status", F.lit("committed"))
+                 .withColumn("n_buckets", F.lit(n_buckets))
                  .withColumn("wall_sec", F.lit(round(wall, 3))))
         append_metrics(stats, out_metrics)
         agg = stats.agg(F.sum("n_media"), F.sum("n_decoded"),
@@ -159,7 +196,7 @@ def run_job(spark: SparkSession, input_path: str, output_dir: str,
     oembed_df = read_table(spark, oembed_path) if oembed_path else None
     media_df = read_table(spark, media_path) if media_path else None
 
-    done = _done_buckets(spark, out_metrics)
+    done = _done_buckets(spark, out_metrics, n_buckets)
     todo = [b for b in range(n_buckets) if b not in done]
     summary = {"run_id": run_id, "resumed_buckets": sorted(done),
                "processed_buckets": [], "n_docs": 0, "n_failures": 0}
@@ -197,15 +234,16 @@ def run_job(spark: SparkSession, input_path: str, output_dir: str,
         wall = time.time() - t0
 
         # lineage metrics, one row per bucket (appended after data commit)
-        stats = (spark.read.parquet(out_data)
-                 .filter(F.col("bucket").isin(chunk))
-                 .groupBy("bucket")
-                 .agg(F.count("*").alias("n_docs"),
-                      F.sum("n_input_bytes").alias("n_bytes"),
-                      F.sum(F.when(F.col("ok") != "ok", 1).otherwise(0))
-                       .alias("n_failures"))
+        stats = (_chunk_stats(
+                    spark, out_data, chunk,
+                    [F.count("*").alias("n_docs"),
+                     F.sum("n_input_bytes").alias("n_bytes"),
+                     F.sum(F.when(F.col("ok") != "ok", 1).otherwise(0))
+                      .alias("n_failures")],
+                    {"n_docs": 0, "n_bytes": 0, "n_failures": 0})
                  .withColumn("run_id", F.lit(run_id))
                  .withColumn("status", F.lit("committed"))
+                 .withColumn("n_buckets", F.lit(n_buckets))
                  .withColumn("wall_sec", F.lit(round(wall, 3)))
                  .withColumn("docs_per_sec",
                              F.round(F.col("n_docs") / F.lit(wall), 1)))

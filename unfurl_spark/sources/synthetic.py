@@ -53,11 +53,6 @@ def _png_bytes(width: int, height: int) -> bytes:
             + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
 
 
-def _jpeg_bytes(width: int, height: int) -> bytes:
-    sof = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * 3, 8, height, width, 3)
-    return b"\xff\xd8" + sof + b"\xff\xd9"
-
-
 def _pdf_bytes(title: str, author: str,
                body_lines: list[str] | None = None) -> bytes:
     """A real single-page PDF: Info dict (metadata parity) + a

@@ -100,9 +100,15 @@ def sessionize(events, gap_minutes: float = 30.0):
             session_id, sess_start, last_ts, n = 0, None, None, 0
         out = []
         gap = int(gap_minutes * 60_000_000)   # µs
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for ts in pdf["ts"]:
+        # one global sort: a group larger than one Arrow batch arrives as
+        # several chunks in ARBITRARY order — sorting each chunk alone
+        # would feed the kernel negative gaps across chunk boundaries
+        chunks = [pdf for pdf in pdfs]
+        merged = (pd.concat(chunks).sort_values("ts")
+                  if len(chunks) > 1 else
+                  (chunks[0].sort_values("ts") if chunks else None))
+        if merged is not None:
+            for ts in merged["ts"]:
                 t = ts.value // 1000           # ns → µs, exact
                 if last_ts is not None and t - last_ts > gap:
                     out.append((user_id, session_id, n,
