@@ -79,3 +79,21 @@ def test_extract_mime():
 def test_twitter_handle():
     assert to_twitter_handle("@blakeembrey") == "blakeembrey"
     assert to_twitter_handle("ab@c") == "ab@c"
+
+
+def test_whatwg_url_invalid_port_and_host_return_none():
+    """The WHATWG constructor throws on these; the port must surface as
+    None, never as a ValueError that kills the Arrow batch."""
+    from unfurl_spark.functions.coerce import whatwg_url
+    assert whatwg_url("http://example.com:99999/") is None
+    assert whatwg_url("http://example.com:abc/") is None
+    assert whatwg_url("http://[abc") is None
+    assert whatwg_url("x", "http://example.com:99999/") is None
+
+
+def test_js_date_lowercase_zone_names():
+    from unfurl_spark.functions.coerce import js_date
+    up = js_date("Mon, 5 Jan 2020 10:00:00 GMT")
+    lo = js_date("Mon, 5 Jan 2020 10:00:00 gmt")
+    assert up is not None and lo == up
+    assert js_date("Jan 5, 2020 10:00:00 utc") == up

@@ -87,3 +87,34 @@ def test_scrape_document_never_raises(text, headers):
 def test_classify_blocks_never_raises(blocks):
     out = classify_blocks([(t, min(l, len(t)), b) for t, l, b in blocks])
     assert isinstance(out, list)
+
+
+def test_exif_ifd_cycle_terminates():
+    """A self-referencing ExifIFDPointer must not recurse unboundedly."""
+    import struct
+
+    from unfurl_spark.functions.media import exif_image
+
+    # TIFF header -> IFD at 8 with one entry: tag 0x8769 pointing back at 8
+    tiff = (b"II*\x00" + struct.pack("<I", 8)
+            + struct.pack("<H", 1)
+            + struct.pack("<HHI", 0x8769, 4, 1) + struct.pack("<I", 8)
+            + struct.pack("<I", 0))
+    exif = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", 2 + len(exif)) + exif
+    jpg = b"\xff\xd8" + app1 + b"\xff\xd9"
+    out = exif_image("http://x/i.jpg", jpg, "image/jpeg")
+    assert out["type"] == "image"  # terminated, bare image
+
+
+def test_pdf_noop_escapes_and_outline_title():
+    """'\\8'/'\\9' are legal no-op escapes; an outline /Title must not
+    override the document's (first truthy match wins)."""
+    from unfurl_spark.functions.media import exiftool_pdf, parse_pdf_info
+
+    pdf = (b"%PDF-1.4\n1 0 obj<</Title(foo\\8bar\\9)>>endobj\n"
+           b"2 0 obj<</Title(Chapter 5)/Parent 3 0 R>>endobj\n%%EOF")
+    info = parse_pdf_info(pdf)
+    assert info["Title"] == "foo8bar9"
+    out = exiftool_pdf("http://x/d.pdf", pdf)
+    assert out["headline"] == "foo8bar9"

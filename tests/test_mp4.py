@@ -107,3 +107,19 @@ def test_decode_media_mp4_dims(spark):
     row = decode_media(df).collect()[0]
     assert row.container == "mp4"
     assert (row.width, row.height) == (640, 360)
+
+
+def test_mvhd_v1_truncated_box_no_phantom_duration():
+    """A version-1 mvhd whose payload stops before the 64-bit duration
+    must not read the sibling box's header bytes as a duration."""
+    import struct
+
+    from unfurl_spark.functions.media import mp4_metadata
+
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4
+    mvhd_payload = b"\x01" + b"\x00" * 27              # v1, only 28 bytes
+    mvhd = struct.pack(">I", 8 + len(mvhd_payload)) + b"mvhd" + mvhd_payload
+    free = struct.pack(">I", 16) + b"free" + b"\x00" * 8
+    moov = struct.pack(">I", 8 + len(mvhd) + len(free)) + b"moov" + mvhd + free
+    meta = mp4_metadata(ftyp + moov)
+    assert "duration_s" not in meta

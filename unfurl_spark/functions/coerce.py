@@ -103,7 +103,9 @@ _SLASH = re.compile(r"^(\d{4})/(\d{1,2})/(\d{1,2})$")
 
 
 def _tz(offset: str | None) -> timezone:
-    if not offset or offset in ("Z", "GMT", "UTC"):
+    # the format regexes match zone names case-insensitively — compare
+    # the same way (V8 accepts 'gmt'/'utc'/'z')
+    if not offset or offset.upper() in ("Z", "GMT", "UTC"):
         return timezone.utc
     offset = offset.replace(":", "")
     sign = 1 if offset[0] == "+" else -1
@@ -250,40 +252,48 @@ def whatwg_url(value: str, base: str | None = None) -> str | None:
         resolved = value
     if not _SCHEME_RE.match(resolved):
         return None
-    parts = urlsplit(resolved)
-    scheme = parts.scheme.lower()
-    if scheme in _SPECIAL_SCHEMES:
-        host = parts.hostname or ""
-        if not host and scheme != "file":
-            return None
-        try:
-            host = host.encode("idna").decode("ascii") if host and any(
-                ord(c) > 127 for c in host) else host
-        except UnicodeError:
-            return None
-        netloc = host
-        if parts.port is not None:
-            port = str(parts.port)
-            if _DEFAULT_PORTS.get(scheme) != port:
-                netloc += f":{port}"
-        if parts.username:
-            cred = parts.username + (f":{parts.password}" if parts.password else "")
-            netloc = f"{cred}@{netloc}"
-        path = _normalize_dots(parts.path) or "/"
-    else:
-        netloc = parts.netloc
-        path = parts.path
-    path = quote(path, safe=_PATH_SAFE)
-    out = f"{scheme}:"
-    if netloc or scheme in _SPECIAL_SCHEMES or "//" in resolved[: len(scheme) + 3]:
-        if netloc or resolved[len(scheme) + 1 : len(scheme) + 3] == "//":
-            out += f"//{netloc}"
-    out += path
-    if parts.query:
-        out += "?" + quote(parts.query, safe=_QUERY_SAFE)
-    if parts.fragment:
-        out += "#" + quote(parts.fragment, safe=_FRAG_SAFE)
-    return out
+    try:
+        parts = urlsplit(resolved)
+        scheme = parts.scheme.lower()
+        if scheme in _SPECIAL_SCHEMES:
+            host = parts.hostname or ""
+            if not host and scheme != "file":
+                return None
+            try:
+                host = host.encode("idna").decode("ascii") if host and any(
+                    ord(c) > 127 for c in host) else host
+            except UnicodeError:
+                return None
+            netloc = host
+            if parts.port is not None:
+                port = str(parts.port)
+                if _DEFAULT_PORTS.get(scheme) != port:
+                    netloc += f":{port}"
+            if parts.username:
+                cred = parts.username + (
+                    f":{parts.password}" if parts.password else "")
+                netloc = f"{cred}@{netloc}"
+            path = _normalize_dots(parts.path) or "/"
+        else:
+            netloc = parts.netloc
+            path = parts.path
+        path = quote(path, safe=_PATH_SAFE)
+        out = f"{scheme}:"
+        if netloc or scheme in _SPECIAL_SCHEMES \
+                or "//" in resolved[: len(scheme) + 3]:
+            if netloc or resolved[len(scheme) + 1 : len(scheme) + 3] == "//":
+                out += f"//{netloc}"
+        out += path
+        if parts.query:
+            out += "?" + quote(parts.query, safe=_QUERY_SAFE)
+        if parts.fragment:
+            out += "#" + quote(parts.fragment, safe=_FRAG_SAFE)
+        return out
+    except ValueError:
+        # the WHATWG constructor throws here too: out-of-range or
+        # non-numeric port, malformed IPv6 host — urlsplit/.port raise
+        # ValueError, which must surface as None, not crash the batch
+        return None
 
 
 def _normalize_dots(path: str) -> str:

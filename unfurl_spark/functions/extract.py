@@ -222,7 +222,7 @@ def get_author(options: dict) -> dict:
         lambda: _m(options, "sailthru", "author"),
     )
     return {
-        "name": name if truthy(name) else name,
+        "name": name,
         "url": to_str(_oembed(options, "author_url")),
         "twitterHandle": to_twitter_handle(
             to_str(_m(options, "twitter", "creator"))),
@@ -327,7 +327,9 @@ def get_icon(options: dict) -> list:
     for x in icons:
         sizes = x.get("sizes")
         pair = []
-        if truthy(sizes) and isinstance(sizes, str):
+        # optional chaining (x.sizes?.split) skips only null/undefined —
+        # an empty string still splits to [''] and yields width 0
+        if sizes is not None and isinstance(sizes, str):
             pairs = [
                 [js_number(n) for n in tok.split("x")[:2]]
                 for tok in re.split(r"\s+", sizes)

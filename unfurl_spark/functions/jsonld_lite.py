@@ -141,14 +141,9 @@ def _expand_iri(ctx: Context, value: str, vocab_mode: bool,
 
 
 def _term_def(ctx: Context, key: str) -> dict:
-    d = ctx.terms.get(key)
-    if d is not None:
-        return d
-    if ":" in key:
-        prefix = key.split(":", 1)[0]
-        pd = ctx.terms.get(prefix)
-        # inherited type mapping does not apply across compact IRIs
-    return {}
+    # compact-IRI keys deliberately get NO inherited term definition —
+    # type/container mappings do not apply across a prefix expansion
+    return ctx.terms.get(key) or {}
 
 
 def _expand_value(ctx: Context, tdef: dict, value: object) -> object:
@@ -166,8 +161,6 @@ def _expand_value(ctx: Context, tdef: dict, value: object) -> object:
         elif ctx.language:
             out["@language"] = ctx.language
         return out
-    if isinstance(value, bool) or isinstance(value, (int, float)):
-        return {"@value": value}
     return {"@value": value}
 
 

@@ -71,7 +71,14 @@ def _parse_tiff(data: bytes) -> dict:
     def u32(off):
         return struct.unpack_from(endian + "I", data, off)[0]
 
+    seen_ifds: set = set()
+
     def read_ifd(off):
+        # cycle guard: a corrupt ExifIFDPointer can point back at its own
+        # (or an ancestor's) IFD — unbounded recursion otherwise
+        if off in seen_ifds or len(seen_ifds) > 32:
+            return
+        seen_ifds.add(off)
         if off + 2 > len(data):
             return
         n = u16(off)
@@ -347,7 +354,9 @@ _PDF_INFO_KEYS = ("Title", "Author", "Creator", "Producer",
 
 def _pdf_unescape(m: re.Match) -> bytes:
     esc = m.group(1)
-    if esc[0:1].isdigit():
+    # octal digits only: '\8'/'\9' are legal no-op escapes (backslash
+    # ignored), and int(b'8', 8) would raise
+    if esc[0:1] in (b"0", b"1", b"2", b"3", b"4", b"5", b"6", b"7"):
         return bytes([int(esc, 8) & 0xFF])
     return {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
             b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\",
@@ -426,6 +435,10 @@ def parse_pdf_info(data: bytes) -> dict:
             val = _pdf_string(raw)
             if val:
                 out[key] = val
+                # first truthy match wins (exiftool reads the one Info
+                # dict; scanning on would let an outline/annotation
+                # /Title override the document's)
+                break
     if "Title" not in out:
         m = re.search(rb"<dc:title>.*?<rdf:li[^>]*>([^<]*)</rdf:li>", data,
                       re.DOTALL)
@@ -500,7 +513,9 @@ def mp4_metadata(data: bytes) -> dict:
         for ctype_, cs, ce in _walk_mp4_boxes(data, ps, pe):
             if ctype_ == b"mvhd" and ce - cs >= 20:
                 version = data[cs]
-                if version == 1 and ce - cs >= 28:
+                # v1 reads span cs+20..cs+32 — a shorter box would pull
+                # the sibling box's header bytes into the duration
+                if version == 1 and ce - cs >= 32:
                     timescale = int.from_bytes(data[cs + 20:cs + 24], "big")
                     duration = int.from_bytes(data[cs + 24:cs + 32], "big")
                 else:

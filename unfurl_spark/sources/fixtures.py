@@ -22,7 +22,6 @@ from pathlib import Path
 DEFAULT_FIXTURE_DIR = "/root/reference/packages/test/fixtures"
 DEFAULT_TEST_SRC = "/root/reference/packages/test/src/index.ts"
 
-_RESERVED_RUN = re.compile(r'[<>:"/\\|?*\x00-\x1f]{2,}')
 _RESERVED = re.compile(r'[<>:"/\\|?*\x00-\x1f]')
 
 
