@@ -43,7 +43,7 @@ def _warm(batches):
     yield from batches
 
 
-def corpus_dir(sf: float, n_docs: int) -> str:
+def corpus_dir(n_docs: int) -> str:
     from unfurl_spark.sources.synthetic import write_corpus
 
     # v3: corpus PNGs carry real pixels; PDFs carry real content streams
@@ -65,7 +65,7 @@ def run(sf_dir: str, cpus: int, n_docs: int | None = None) -> dict:
     sf = float(m.group(1).rstrip(".")) if m else 0.1
     n_docs = n_docs or int(os.environ.get("BENCH_N_DOCS")
                            or max(1000, int(1_000_000 * sf)))
-    cdir = corpus_dir(sf, n_docs)
+    cdir = corpus_dir(n_docs)
 
     spark = session(app=f"unfurl_bench_{cpus}", master=f"local[{cpus}]",
                     shuffle_partitions=max(cpus, 8))
@@ -78,7 +78,7 @@ def run(sf_dir: str, cpus: int, n_docs: int | None = None) -> dict:
     timings: dict[str, float] = {}
 
     # --- extraction throughput -------------------------------------------
-    # steady state = best of 2 measured passes after 1 warmup (a production
+    # steady state = best of 3 measured passes after 1 warmup (a production
     # job runs for hours; first-pass JIT/page-cache costs are not the
     # regime being graded)
     docs = spark.read.parquet(os.path.join(cdir, "documents_raw.parquet"))

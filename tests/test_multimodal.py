@@ -197,3 +197,88 @@ def test_decode_media_null_payload_records_err(spark):
             .collect()}
     assert rows["ref-ok"].ok == "ok"
     assert rows["ref-null"].ok.startswith(("err:", "codec:"))
+
+def _mp4_truncated_tkhd() -> bytes:
+    """ftyp + moov/trak/tkhd where the tkhd box has a zero-length payload
+    ending exactly at the buffer edge — what the header byte-cap produces
+    when it truncates a real file mid-box."""
+    import struct
+
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x02\x00"
+    tkhd = struct.pack(">I", 8) + b"tkhd"          # header only, no payload
+    trak = struct.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
+    moov = struct.pack(">I", 8 + len(trak)) + b"moov" + trak
+    return ftyp + moov
+
+
+def test_decode_media_malformed_mp4_degrades_row(spark):
+    """Reviewer repro: zero-payload tkhd at the buffer end used to
+    IndexError inside mp4_metadata OUTSIDE the per-row try, killing the
+    whole Spark task. Must now degrade to a NULL-dims lineage row."""
+    from unfurl_spark.functions.media import mp4_metadata
+
+    bad = _mp4_truncated_tkhd()
+    assert mp4_metadata(bad).get("width") is None  # no crash at source
+    df = spark.createDataFrame(
+        [("bad.mp4", "video/mp4", bad)],
+        "media_ref string, ctype string, payload binary")
+    row = decode_media(df, num_partitions=1).collect()[0]
+    assert row.container == "mp4"
+    assert row.width is None and row.height is None
+    out = sample_frames(df, n_frames=2, num_partitions=1).collect()
+    assert len(out) == 2  # stub frames, not a task abort
+
+
+def test_decode_media_huge_ihdr_dims_clamped(spark):
+    """A corrupt IHDR declaring width >= 2^31 must NULL that row's dims,
+    not ArrowInvalid the whole batch at pa.array(..., int32())."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 3_000_000_000, 2, 8, 2, 0, 0, 0)
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IEND", b""))
+    ok_png = encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [("huge.png", "image/png", bad), ("ok.png", "image/png", ok_png)],
+        "media_ref string, ctype string, payload binary")
+    rows = {r.media_ref: r for r in
+            decode_media(df, num_partitions=1).collect()}
+    assert rows["huge.png"].width is None
+    assert rows["huge.png"].ok.startswith("err:")
+    assert rows["ok.png"].ok == "ok" and rows["ok.png"].width == 2
+
+
+def test_resize_gray_alpha_png_emits_rgb24(spark):
+    """PNG color type 4 (gray+alpha → 2 channels) must still produce the
+    contractual h*w*3 RGB24 buffer, not a silent h*w*2 one."""
+    ga = np.zeros((8, 8, 2), dtype=np.uint8)
+    ga[:, :, 0] = 128   # gray plane
+    ga[:, :, 1] = 255   # alpha plane
+    df = spark.createDataFrame(
+        [("ga.png", "image/png", encode_png(ga))],
+        "media_ref string, ctype string, payload binary")
+    row = resize_images(df, width=8, height=8, num_partitions=1).collect()[0]
+    assert row.ok == "ok"
+    assert len(row.payload) == 8 * 8 * 3
+    px = np.frombuffer(row.payload, dtype=np.uint8).reshape(8, 8, 3)
+    assert (px == 128).all()  # gray plane replicated to R=G=B
+
+
+def test_null_media_ref_fallback_rows_survive(spark):
+    """NULL media_ref + undecodable payload reaches the _fake_pixels
+    fallback — it must emit a stub row, not AttributeError the task."""
+    webp = b"RIFF" + b"\x00" * 4 + b"WEBPVP8 " + b"\x00" * 40
+    df = spark.createDataFrame(
+        [(None, "image/webp", webp)],
+        "media_ref string, ctype string, payload binary")
+    r1 = resize_images(df, width=4, height=4, num_partitions=1).collect()
+    assert len(r1) == 1 and r1[0].ok == "codec:unavailable"
+    assert len(r1[0].payload) == 4 * 4 * 3
+    r2 = extract_features(df, dim=16, num_partitions=1).collect()
+    assert len(r2) == 1 and len(r2[0].embedding) == 16

@@ -107,10 +107,7 @@ def run_url(url: str, suite: str, context_store, request) -> dict | None:
     ctype = (page["headers"].get("content-type") or "")
     if isinstance(ctype, list):
         ctype = ctype[0] if ctype else ""
-    mime = extract_mime(
-        (page["headers"].get("content-type") or "")
-        if not isinstance(page["headers"].get("content-type"), list)
-        else page["headers"]["content-type"][0])
+    mime = extract_mime(ctype)
 
     def oembed_lookup(href):
         sub = request(href, "application/json")

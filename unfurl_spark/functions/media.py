@@ -527,6 +527,10 @@ def mp4_metadata(data: bytes) -> dict:
                 for gtype, gs, ge in _walk_mp4_boxes(data, cs, ce):
                     if gtype != b"tkhd":
                         continue
+                    # zero-payload box ending at the buffer edge (byte-cap
+                    # truncation produces these): gs == ge == len(data)
+                    if gs >= ge or gs >= len(data):
+                        continue
                     version = data[gs]
                     off = gs + (88 if version == 1 else 76)
                     if off + 8 > ge:

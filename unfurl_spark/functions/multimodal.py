@@ -85,7 +85,8 @@ def decode_pixels(payload: bytes, container: str):
 def _fake_pixels(media_ref: str, payload: bytes, n: int) -> bytes:
     """Deterministic stand-in for decoded pixel data: an n-byte stream
     seeded by (media_ref, payload) — stable across runs/workers."""
-    seed = hashlib.sha256(media_ref.encode() + b"\x00" + payload[:64])
+    seed = hashlib.sha256((media_ref or "").encode() + b"\x00"
+                          + payload[:64])
     out = bytearray()
     counter = 0
     while len(out) < n:
@@ -95,7 +96,22 @@ def _fake_pixels(media_ref: str, payload: bytes, n: int) -> bytes:
     return bytes(out[:n])
 
 
+def _i32(v):
+    """Header-declared dimension → int32-safe value.  IHDR/tkhd fields are
+    corruption-controlled 4-byte ints; a 3e9 width must degrade to NULL for
+    one row, not ArrowInvalid the whole batch at pa.array(..., int32())."""
+    return v if (v is not None and 0 <= v < 2 ** 31) else None
+
+
 def _dims(container: str | None, data: bytes):
+    try:
+        w, h = _dims_raw(container, data)
+    except Exception:  # malformed header walk degrades the row, not the task
+        return None, None
+    return _i32(w), _i32(h)
+
+
+def _dims_raw(container: str | None, data: bytes):
     if container == "png":
         w, h, _, _ = _png_info(data)
         return w, h
@@ -163,7 +179,8 @@ def decode_media(df: DataFrame,
                         px = decode_pixels(data, c or "unknown")
                         ok = "ok"
                         if w is None and hasattr(px, "shape"):
-                            h, w = int(px.shape[0]), int(px.shape[1])
+                            h = _i32(int(px.shape[0]))
+                            w = _i32(int(px.shape[1]))
                     except CodecUnavailable:
                         ok = "codec:unavailable"
                     except Exception as exc:  # malformed payload
@@ -275,8 +292,10 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64,
                     px = decode_pixels(data, _sniff(data) or "unknown")
                     if isinstance(px, tuple):
                         raise CodecUnavailable("audio has no thumbnail")
-                    if px.shape[2] == 1:
-                        px = np.repeat(px, 3, axis=2)
+                    if px.shape[2] < 3:
+                        # gray (1ch) AND gray+alpha (2ch): repeat the gray
+                        # plane — the RGB24 output contract is h*w*3 bytes
+                        px = np.repeat(px[:, :, :1], 3, axis=2)
                     out = resize_area(px[:, :, :3], width, height).tobytes()
                     oks.append("ok")
                 except CodecUnavailable:
@@ -344,7 +363,10 @@ def sample_frames(df: DataFrame, n_frames: int = 4,
                         o_payload.append(px)
                         o_ok.append("ok")
                     continue
-                duration_s = mp4_metadata(data).get("duration_s")
+                try:
+                    duration_s = mp4_metadata(data).get("duration_s")
+                except Exception:  # malformed container → stub timing
+                    duration_s = None
                 if duration_s:
                     step_ms = max(1, int(duration_s * 1000 / n_frames))
                     ok = "codec:unavailable"  # real timing, stub pixels

@@ -51,35 +51,52 @@ def _is_path(identifier: str) -> bool:
     return "/" in identifier or identifier.endswith(".parquet")
 
 
+def _fallback_path(spark: SparkSession, identifier: str) -> str:
+    """Deterministic parquet location for a catalog identifier when no
+    Iceberg catalog is present — read and write agree on it, so
+    `write_bucketed(df, "db.metrics")` → `read_table(spark, "db.metrics")`
+    round-trips instead of diverging into spark.read.table.  Anchored at
+    the session warehouse dir (a relative path would resolve against the
+    JVM launch dir, which differs from the caller's cwd)."""
+    base = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    return base.rstrip("/") + "/" + identifier.replace(".", "/")
+
+
 def read_table(spark: SparkSession, identifier: str) -> DataFrame:
     """Scan a documents/side table by path (parquet) or name (Iceberg)."""
     if _is_path(identifier):
         return spark.read.parquet(identifier)
     if iceberg_available(spark):
         return spark.read.format("iceberg").load(identifier)
-    return spark.read.table(identifier)
+    return spark.read.parquet(_fallback_path(spark, identifier))
 
 
 def write_bucketed(df: DataFrame, identifier: str,
                    partition_col: str = "bucket") -> None:
     """Idempotent bucket commit: replace exactly the buckets present in
     `df`, never duplicate — Iceberg `overwritePartitions` or parquet
-    dynamic partition overwrite."""
+    dynamic partition overwrite (scoped per-write: no session-wide
+    partitionOverwriteMode mutation leaks to other writers)."""
     spark = df.sparkSession
-    if not _is_path(identifier) and iceberg_available(spark):
-        df.writeTo(identifier).overwritePartitions()
-        return
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode("overwrite").partitionBy(partition_col) \
+    if not _is_path(identifier):
+        if iceberg_available(spark):
+            df.writeTo(identifier).overwritePartitions()
+            return
+        identifier = _fallback_path(spark, identifier)
+    df.write.mode("overwrite") \
+        .option("partitionOverwriteMode", "dynamic") \
+        .partitionBy(partition_col) \
         .parquet(identifier)
 
 
 def append_metrics(df: DataFrame, identifier: str) -> None:
     """Append-only lineage/metrics table."""
     spark = df.sparkSession
-    if not _is_path(identifier) and iceberg_available(spark):
-        df.writeTo(identifier).append()
-        return
+    if not _is_path(identifier):
+        if iceberg_available(spark):
+            df.writeTo(identifier).append()
+            return
+        identifier = _fallback_path(spark, identifier)
     df.write.mode("append").parquet(identifier)
 
 
