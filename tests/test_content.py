@@ -42,3 +42,16 @@ def test_link_dense_block_dropped():
 def test_malformed_html_safe():
     assert extract_content_blocks("<p unclosed") == []
     assert extract_content_blocks("") == []
+
+
+def test_whitespace_padded_anchor_keeps_content_block():
+    """link_chars must be counted on collapsed text (same units as the
+    denominator): a single whitespace-heavy anchor inside a real
+    paragraph must not push link_density past the threshold."""
+    html = ("<body><p>This long paragraph has plenty of meaningful words "
+            'around one link <a href="/d">\n\n\n\n   docs   \n\n\n\n</a> '
+            "and keeps going with even more real content after it."
+            "</p></body>")
+    blocks = extract_content_blocks(html)
+    assert len(blocks) == 1
+    assert "docs" in blocks[0]

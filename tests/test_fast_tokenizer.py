@@ -71,6 +71,15 @@ ADVERSARIAL = [
     "<td nowrap>old school</td>",
     "﻿<html><body>bom</body></html>",
     "<svg><![FOO[bad section",
+    # cdata closes: truncated / near-miss / spaced — the fast path's close
+    # regex must carry the stdlib's full `</\s*script\s*>` pattern or the
+    # unterminated-tail drop diverges
+    '<script type="application/ld+json">{"a":1}</script',
+    "<p><script>var a=1;</scriptx>rest</script>done",
+    "<p><script>x</scripts></script>ok",
+    "<style>a{}</style",
+    "<script>a</ script >b",
+    "<script>one</SCRIPT >two",
 ]
 
 

@@ -26,6 +26,8 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if math.isinf(v):
+            return "Inf" if v > 0 else "-Inf"
         if v == int(v) and abs(v) < 2**53:
             return int(v)
         return round(v, 9)
@@ -34,10 +36,21 @@ def norm_cell(v):
     return v
 
 
+def _sort_key(cell):
+    # total order over mixed None/str/num cells — Python's < is partial
+    # and a nullable column would TypeError the whole gate otherwise
+    if cell is None:
+        return (0, "")
+    if isinstance(cell, (int, float, bool)):
+        return (1, "", float(cell))
+    return (2, str(cell))
+
+
 def canon(rows: list[dict]) -> tuple:
     cols = sorted(rows[0].keys()) if rows else []
     multiset = sorted(
-        tuple(norm_cell(r[c]) for c in cols) for r in rows
+        (tuple(norm_cell(r[c]) for c in cols) for r in rows),
+        key=lambda t: tuple(_sort_key(c) for c in t),
     )
     return cols, multiset
 

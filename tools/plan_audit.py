@@ -41,8 +41,8 @@ def simple_plan(df) -> str:
 CHECKS = {
     "tpch_q1": [
         ("filter pushed to scan", lambda p: "PushedFilters: [" in p
-         and "IsNotNull(l_shipdate)" in p.replace(" ", "")
-         or "LessThanOrEqual(l_shipdate" in p.replace(" ", "")),
+         and ("IsNotNull(l_shipdate)" in p.replace(" ", "")
+              or "LessThanOrEqual(l_shipdate" in p.replace(" ", ""))),
         ("column pruning (no l_comment)", lambda p: "l_comment" not in p),
         ("map-side partial agg", lambda p: p.count("HashAggregate") >= 2),
         ("whole-stage codegen", lambda p: "*(" in p),

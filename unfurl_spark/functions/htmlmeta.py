@@ -458,7 +458,10 @@ class MetaHandler(HTMLParser):
                 self._c_boiler = self._c_boiler_depth > 0
             self._c_parts.append(data)
             if self._c_anchor:
-                self._c_link_chars += len(data)
+                # collapsed count, same units as the block text the
+                # classifier divides by — raw counting would let a
+                # whitespace-padded anchor push link_density past 1.0
+                self._c_link_chars += len(_WS.sub(" ", data).strip())
 
     # -- meta/link -------------------------------------------------------------
 

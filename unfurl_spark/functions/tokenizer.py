@@ -32,8 +32,12 @@ from html.parser import (
 )
 
 _CDATA_CLOSE = {
-    "script": re.compile(r"</\s*script", re.IGNORECASE),
-    "style": re.compile(r"</\s*style", re.IGNORECASE),
+    # stdlib set_cdata_mode's exact `interesting` pattern INCLUDING the
+    # `\s*>` suffix: without it a truncated `</script` (no `>`) or a
+    # near-miss `</scriptx>` would end cdata here while the stdlib
+    # driver drops the unterminated tail — a byte-equivalence break
+    "script": re.compile(r"</\s*script\s*>", re.IGNORECASE),
+    "style": re.compile(r"</\s*style\s*>", re.IGNORECASE),
 }
 _ENDTAG_GT = re.compile(">")
 # _markupbase's marked-section machinery (same patterns)

@@ -27,10 +27,6 @@ from pyspark.sql import functions as F
 
 from .pipeline import _bvalue, narrow_columns
 
-FETCH_LIST_SCHEMA = ("context_url string, n_docs long, "
-                     "sample_doc_id string")
-
-
 def context_fetch_list(df: DataFrame,
                        context_store: dict | None = None,
                        num_partitions: int | None = None) -> DataFrame:

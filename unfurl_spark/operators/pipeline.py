@@ -168,7 +168,11 @@ def narrow_columns(df: DataFrame, assume_sorted: bool = False
     has_status = "status" in df.columns
     pre = df.select(
         "doc_id",
-        (F.col("status").cast("int") if has_status else F.lit(200))
+        # coalesce, not just cast: a schema-mandated-but-absent status
+        # column (streaming read schema over status-less files) arrives
+        # as NULL, and int(None) downstream would fail EVERY doc
+        (F.coalesce(F.col("status").cast("int"), F.lit(200))
+         if has_status else F.lit(200))
         .alias("status"),
         "spans",
     )
@@ -178,11 +182,16 @@ def narrow_columns(df: DataFrame, assume_sorted: bool = False
         ordered = F.col("spans")
     else:
         # native sort_array over an offset-first struct reshape — no lambda
-        # comparator, whole-stage-friendly
+        # comparator, whole-stage-friendly.  (coalesce(offset,0), pos)
+        # reproduces the library kernel's semantics exactly (engine.
+        # document_spans: stable sort by `offset or 0`): NULL offsets tie
+        # with 0 instead of sorting NULLS FIRST, and equal offsets keep
+        # input order instead of tie-breaking on kind/text.
         ordered = F.sort_array(F.transform(
             "spans",
-            lambda s: F.struct(
-                s["offset"].alias("offset"), s["kind"].alias("kind"),
+            lambda s, i: F.struct(
+                F.coalesce(s["offset"], F.lit(0)).alias("offset"),
+                i.alias("pos"), s["kind"].alias("kind"),
                 s["text"].alias("text"), s["media_ref"].alias("media_ref"),
             )))
     return pre.select(
