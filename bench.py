@@ -55,7 +55,12 @@ def corpus_dir(n_docs: int) -> str:
     return out
 
 
-def run(sf_dir: str, cpus: int, n_docs: int | None = None) -> dict:
+def run(sf_dir: str, cpus: int, n_docs: int | None = None,
+        trials: int | None = None) -> dict:
+    """One bench pass.  ``trials`` overrides the per-metric best-of repeat
+    counts (default: 3 for extraction, 2 for media/queries) — the
+    documented 3× noisy-neighbor host swings mean any cross-round A/B
+    must be best-of-N in the SAME window to be interpretable."""
     from pyspark.sql import functions as F
 
     from unfurl_spark.operators.pipeline import extract_spans, session
@@ -100,7 +105,7 @@ def run(sf_dir: str, cpus: int, n_docs: int | None = None) -> dict:
 
     extract_once()  # warmup
     dt = float("inf")
-    for _ in range(3):  # best-of-3: the headline metric vs host noise
+    for _ in range(trials or 3):  # best-of-N: headline vs host noise
         t0 = time.time()
         agg = extract_once()
         dt = min(dt, time.time() - t0)
@@ -125,7 +130,7 @@ def run(sf_dir: str, cpus: int, n_docs: int | None = None) -> dict:
 
     media_once()  # warmup
     mdt = float("inf")
-    for _ in range(2):  # best-of-2: this host has noisy-neighbor windows
+    for _ in range(trials or 2):  # best-of-N vs noisy-neighbor windows
         t0 = time.time()
         m = media_once()
         mdt = min(mdt, time.time() - t0)
@@ -138,7 +143,7 @@ def run(sf_dir: str, cpus: int, n_docs: int | None = None) -> dict:
         fn, _ = QUERIES[name]
         fn(spark, sf_dir).collect()  # warmup: parquet listing + codegen
         best = float("inf")
-        for _ in range(2):  # best-of-2 vs noisy-neighbor windows
+        for _ in range(trials or 2):  # best-of-N vs noisy windows
             t0 = time.time()
             fn(spark, sf_dir).collect()
             best = min(best, time.time() - t0)
@@ -157,6 +162,19 @@ def run(sf_dir: str, cpus: int, n_docs: int | None = None) -> dict:
 
 
 if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trials", type=int, default=None,
+                    help="best-of-N repeats per metric (default 3 for "
+                         "extraction, 2 for media/queries)")
+    ap.add_argument("--queries", default=None,
+                    help="comma list to restrict registry queries "
+                         "(A/B a single metric in one noise window)")
+    args = ap.parse_args()
+    if args.queries:
+        BENCH_QUERIES = tuple(
+            q.strip() for q in args.queries.split(",") if q.strip())
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    print(json.dumps(run(sf_dir, cpus)))
+    print(json.dumps(run(sf_dir, cpus, trials=args.trials)))

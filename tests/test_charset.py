@@ -18,8 +18,10 @@ def test_sniff_order():
                        ) == "<title>hi</title>"
     assert decode_html(b"\xfe\xff" + "<title>hi</title>".encode("utf-16-be")
                        ) == "<title>hi</title>"
+    # WHATWG: the iso-8859-1 label decodes as windows-1252 (the C1 range
+    # carries smart quotes/dashes on real pages labeled latin-1)
     assert sniff_charset(b"<html>", "text/html; charset=ISO-8859-1") == \
-        "latin-1"
+        "cp1252"
     assert sniff_charset(
         b'<html><head><meta charset="Shift_JIS"></head>') == "shift_jis"
     assert sniff_charset(
@@ -128,3 +130,46 @@ def test_utf16_bom_not_leaked_into_title():
         row = page_to_spans(page)
         text = row["spans"][0]["text"]
         assert text == html and "﻿" not in text
+
+
+def test_whatwg_label_registry_complete():
+    """Table-driven check over the full WHATWG label registry: every label
+    resolves, non-sentinel codecs are real python codecs, and the spec's
+    cross-family mappings hold."""
+    import codecs as pycodecs
+
+    from unfurl_spark.functions.charset import _ENCODINGS, resolve_label
+
+    n_labels = 0
+    for codec, labels in _ENCODINGS.items():
+        if codec not in ("replacement", "x-user-defined"):
+            pycodecs.lookup(codec)  # raises if not a real codec
+        for lab in labels:
+            n_labels += 1
+            assert resolve_label(lab) == codec, lab
+            assert resolve_label(lab.upper()) == codec, lab  # case-fold
+    assert n_labels >= 210  # the registry is ~220 labels
+
+    # spec cross-family mappings
+    assert resolve_label("iso-8859-9") == "cp1254"
+    assert resolve_label("ascii") == "cp1252"
+    assert resolve_label("iso-8859-11") == "cp874"
+    assert resolve_label("koi8-ru") == "koi8_u"
+    assert resolve_label("x-mac-ukrainian") == "mac_cyrillic"
+
+
+def test_replacement_and_user_defined_sentinels():
+    # replacement: whole stream → a single U+FFFD, empty stays empty
+    assert decode_html(b"\x1b$)Cabc",
+                       "text/html; charset=iso-2022-kr") == "�"
+    assert decode_html(b"", "text/html; charset=hz-gb-2312") == ""
+    # x-user-defined: ascii passthrough, 0x80+n → U+F780+n
+    out = decode_html(b"ab\x80\xff", "text/html; charset=x-user-defined")
+    assert out == "ab" + chr(0xF780) + chr(0xF7FF)
+
+
+def test_c1_smart_quotes_under_latin1_label():
+    # 0x93/0x94 are curly quotes in cp1252; a strict latin-1 decode
+    # would emit invisible C1 controls
+    raw = b"\x93hello\x94"
+    assert decode_html(raw, "text/html; charset=iso-8859-1") == "“hello”"

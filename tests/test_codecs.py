@@ -317,3 +317,20 @@ def test_jpeg_cmyk_frame_unavailable():
            + b"\xff\xd9")
     with pytest.raises(C.CodecUnavailable):
         decode_jpeg(jpg)
+
+
+def test_jpeg_fill_bytes_in_entropy_segment():
+    # T.81 B.1.1.2: 0xFF fill bytes may precede any marker/stuffed byte.
+    # FF FF 00 = fill byte + stuffed data 0xFF; FF FF D9 = fill + EOI.
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = J.encode_jpeg(img, quality=95)
+    sos = data.find(b"\xff\xda")
+    start = sos + 2 + int.from_bytes(data[sos + 2:sos + 4], "big")
+    idx = data.find(b"\xff\x00", start, len(data) - 2)
+    assert idx > 0, "fixture must contain a stuffed byte"
+    base = J.decode_jpeg(data)
+    assert (J.decode_jpeg(data[:idx] + b"\xff" + data[idx:]) == base).all()
+    eoi = data.rfind(b"\xff\xd9")
+    assert (J.decode_jpeg(data[:eoi] + b"\xff\xff" + data[eoi:])
+            == base).all()

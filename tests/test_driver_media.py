@@ -59,3 +59,37 @@ def test_media_job_partial_resume(spark, tmp_path):
     assert sorted(s2["processed_buckets"]) == [2, 3]
     # idempotent overwrite: total row count is stable
     assert spark.read.parquet(f"{out}/media_meta").count() == total
+
+
+def test_media_job_resume_is_op_aware(spark, tmp_path):
+    """A decode-only first run must NOT satisfy a later run that adds
+    features: buckets re-run so media_features is complete, and the
+    re-run is itself idempotent."""
+    corpus = write_corpus(str(tmp_path / "corpus"), 60, seed=11)
+    out = str(tmp_path / "out")
+    s1 = run_media_job(spark, corpus["media_payloads"], out,
+                       ops=("decode",), n_buckets=4, buckets_per_job=4,
+                       run_id="o1")
+    total = s1["n_media"]
+    import os
+    assert not os.path.exists(f"{out}/media_features")
+
+    s2 = run_media_job(spark, corpus["media_payloads"], out,
+                       ops=("decode", "features"), n_buckets=4,
+                       buckets_per_job=4, run_id="o2")
+    # decode-only commits don't cover features → all buckets reprocess
+    assert sorted(s2["processed_buckets"]) == [0, 1, 2, 3]
+    assert s2["resumed_buckets"] == []
+    feats = spark.read.parquet(f"{out}/media_features")
+    assert feats.count() == total
+    assert "ok" in feats.columns  # lineage column persisted
+
+    # now the superset run IS resumable, and so is the decode-only one
+    s3 = run_media_job(spark, corpus["media_payloads"], out,
+                       ops=("decode", "features"), n_buckets=4,
+                       buckets_per_job=4, run_id="o3")
+    assert s3["processed_buckets"] == []
+    s4 = run_media_job(spark, corpus["media_payloads"], out,
+                       ops=("decode",), n_buckets=4, buckets_per_job=4,
+                       run_id="o4")
+    assert s4["processed_buckets"] == []

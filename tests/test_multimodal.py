@@ -282,3 +282,32 @@ def test_null_media_ref_fallback_rows_survive(spark):
     assert len(r1[0].payload) == 4 * 4 * 3
     r2 = extract_features(df, dim=16, num_partitions=1).collect()
     assert len(r2) == 1 and len(r2[0].embedding) == 16
+
+
+def test_extract_features_flags_fallback(spark, mixed):
+    # the fake-embedding fallback must carry lineage, mirroring resize:
+    # downstream embedding dedup/ANN filters on ok='ok' to avoid
+    # clustering hash noise as content
+    got = {r["media_ref"]: r for r in extract_features(mixed, dim=16).collect()}
+    for ref in ("a.png", "a.jpg", "a.gif", "a.bmp", "a.ppm", "a.wav"):
+        assert got[ref]["ok"] == "ok", (ref, got[ref]["ok"])
+    assert got["a.webp"]["ok"] == "codec:unavailable"
+    assert got["bad.png"]["ok"].startswith("err:")
+    # fallback vectors are still total + unit-norm (column never NULL)
+    for r in got.values():
+        assert abs(sum(x * x for x in r["embedding"]) - 1.0) < 1e-4
+    # the filter a dedup pipeline runs
+    real = extract_features(mixed, dim=16).filter("ok = 'ok'").count()
+    assert real == 6
+
+
+def test_extract_features_zero_sample_wav_no_nan(spark):
+    import math
+
+    wav = encode_wav(8000, np.zeros(0, dtype=np.int16))
+    df = spark.createDataFrame([Row(media_ref="empty.wav", payload=wav)])
+    [r] = extract_features(df, dim=16).collect()
+    # zero samples: flagged fallback, never an all-NaN embedding
+    assert r["ok"].startswith("err:")
+    assert all(not math.isnan(v) for v in r["embedding"])
+    assert abs(sum(x * x for x in r["embedding"]) - 1.0) < 1e-4

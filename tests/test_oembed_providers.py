@@ -51,7 +51,7 @@ def test_unmatched_url_returns_none():
 
 
 def test_load_registry_roundtrip():
-    bundled = op.PROVIDERS
+    bundled = op.DEFAULT_REGISTRY
     try:
         n = op.load_registry([
             {"provider_name": "Example", "endpoints": [{
@@ -76,3 +76,40 @@ def test_scheme_star_stays_inside_authority():
     scheme match covers the WHOLE url (both ends anchored)."""
     assert op.discovery_href(
         "http://evil.example.com/a.youtube.com/watch?v=x") is None
+
+
+def test_extended_registry_long_tail():
+    """The bundled registry now carries the public dump's long tail:
+    providers beyond the original 42 resolve discovery hrefs."""
+    from unfurl_spark.functions.oembed_providers import discovery_href
+
+    cases = {
+        "https://music.apple.com/us/album/x/123":
+            "https://embed.music.apple.com/api/v1/oembed",
+        "https://www.behance.net/gallery/999/title":
+            "https://www.behance.net/services/oembed",
+        "https://rumble.com/v12345-some-video.html":
+            "https://rumble.com/api/Media/oembed.json",
+        "https://odysee.com/@chan/video-name":
+            "https://odysee.com/$/oembed",
+        "https://song.link/i/12345":
+            "https://song.link/oembed",
+        "https://coub.com/view/abc123":
+            "https://coub.com/api/oembed.json",
+        "https://infogram.com/my-chart-1a2b3c":
+            "https://infogram.com/oembed",
+    }
+    for url, endpoint in cases.items():
+        href = discovery_href(url)
+        assert href is not None, url
+        assert href.startswith(endpoint), (url, href)
+        assert "url=" in href
+
+    # endpoint bases without url= are normalized to a discovery prefix
+    assert "?format=json&url=" in discovery_href(
+        "https://www.behance.net/gallery/999/title")
+
+    # corpus providers keep first-match priority (byte-exact prefixes)
+    assert discovery_href(
+        "https://www.youtube.com/watch?v=dQw4w9WgXcQ").startswith(
+        "https://www.youtube.com/oembed?format=json&url=")

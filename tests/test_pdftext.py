@@ -148,3 +148,20 @@ def test_page_number_strip_only_at_block_edges():
     assert "did" in joined and "civil" in joined and "mix" in joined
     # ... while the bare roman page numbers at the block edge are gone
     assert "\niv" not in joined and "\nvi" not in joined
+
+
+def test_flags_key_not_mistaken_for_flate():
+    # /Flags starts with /Fl but is NOT a Flate filter: the stream is
+    # uncompressed and must extract, not die in zlib
+    raw = b"BT (unfiltered) Tj ET"
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Flags 4 /Length "
+           + str(len(raw)).encode() + b" >>\nstream\n"
+           + raw + b"\nendstream\nendobj\n%%EOF")
+    assert pdf_text(pdf) == "unfiltered"
+
+
+def test_fl_abbreviation_is_flate():
+    fl = zlib.compress(b"BT (abbrev) Tj ET")
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Filter [ /Fl ] >>\nstream\n"
+           + fl + b"\nendstream\nendobj\n%%EOF")
+    assert pdf_text(pdf) == "abbrev"

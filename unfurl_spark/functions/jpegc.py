@@ -118,6 +118,12 @@ class _BitReader:
             raise CodecError("jpeg: truncated entropy data")
         byte = d[p]
         if byte == 0xFF:
+            # T.81 B.1.1.2: any run of 0xFF fill bytes may precede the
+            # classifying byte — skip them, else legal FF FF sequences
+            # inside the scan would prematurely pad with 1-bits
+            while p + 1 < len(d) and d[p + 1] == 0xFF:
+                p += 1
+            self.pos = p
             nxt = d[p + 1] if p + 1 < len(d) else 0xD9
             if nxt == 0x00:
                 self.pos = p + 2

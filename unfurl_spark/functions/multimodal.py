@@ -50,7 +50,7 @@ HEADER_BYTE_CAP = 131072
 
 DECODE_SCHEMA = ("media_ref string, container string, width int, "
                  "height int, n_bytes long, ok string")
-FEATURE_SCHEMA = "media_ref string, embedding array<float>"
+FEATURE_SCHEMA = "media_ref string, embedding array<float>, ok string"
 RESIZE_SCHEMA = ("media_ref string, width int, height int, "
                  "payload binary, ok string")
 FRAME_SCHEMA = ("media_ref string, frame_index int, frame_ts_ms long, "
@@ -211,7 +211,10 @@ def extract_features(df: DataFrame, dim: int = 64,
     sample histogram for PCM audio — L2-normalized to `dim` floats.
     Codec-unavailable containers fall back to the deterministic
     payload-hash fake (stable across runs/workers), so the column is
-    total either way.
+    total either way — but the fallback is FLAGGED in ``ok``
+    (``codec:unavailable`` / ``err:*``), mirroring ``resize_images``,
+    so downstream embedding dedup/ANN can filter hash noise out
+    (``WHERE ok = 'ok'``) instead of clustering it as content.
     """
     full = df.select("media_ref", "payload")
 
@@ -223,7 +226,7 @@ def extract_features(df: DataFrame, dim: int = 64,
         for batch in batches:
             refs = batch.column(0).to_pylist()
             payloads = batch.column(1).to_pylist()
-            vecs = []
+            vecs, oks = [], []
             for ref, payload in zip(refs, payloads):
                 data = payload or b""
                 vec = None
@@ -232,6 +235,10 @@ def extract_features(df: DataFrame, dim: int = 64,
                     if isinstance(out, tuple):  # audio (rate, samples)
                         _rate, samples = out
                         flat = samples.astype(np.float32) / 32768.0
+                        if flat.size == 0:
+                            # valid container, zero samples: mean()/std()
+                            # would emit an all-NaN embedding
+                            raise CodecError("wav: zero samples")
                         head = [float(flat.mean()), float(flat.std()),
                                 float(np.abs(flat).mean()),
                                 float(np.abs(flat).max(initial=0.0)),
@@ -250,8 +257,11 @@ def extract_features(df: DataFrame, dim: int = 64,
                     hsum = float(hist.sum()) or 1.0
                     vec = head + [float(v) / hsum for v in hist]
                     vec = (vec + [0.0] * dim)[:dim]
-                except Exception:  # codec unavailable / malformed
-                    pass
+                    oks.append("ok")
+                except CodecUnavailable:
+                    oks.append("codec:unavailable")
+                except Exception as exc:  # malformed payload
+                    oks.append(f"err:{type(exc).__name__}")
                 if vec is None:
                     px = _fake_pixels(ref, data[:4096], dim * 16)
                     vec = [0.0] * dim
@@ -261,8 +271,9 @@ def extract_features(df: DataFrame, dim: int = 64,
                 vecs.append([v / norm for v in vec])
             yield pa.RecordBatch.from_arrays(
                 [pa.array(refs, pa.string()),
-                 pa.array(vecs, pa.list_(pa.float32()))],
-                names=["media_ref", "embedding"])
+                 pa.array(vecs, pa.list_(pa.float32())),
+                 pa.array(oks, pa.string())],
+                names=["media_ref", "embedding", "ok"])
 
     return _salted(full, num_partitions).mapInArrow(run, FEATURE_SCHEMA)
 

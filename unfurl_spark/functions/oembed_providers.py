@@ -258,7 +258,12 @@ def load_registry(registry: list[dict]) -> int:
     return len(_MATCHERS)
 
 
-_MATCHERS = _build(PROVIDERS)
+# long-tail public-registry entries ride behind the parity-verified
+# corpus providers (first match wins, so their prefixes stay byte-exact)
+from .oembed_registry_extra import EXTRA_PROVIDERS  # noqa: E402
+
+DEFAULT_REGISTRY = PROVIDERS + EXTRA_PROVIDERS
+_MATCHERS = _build(DEFAULT_REGISTRY)
 
 
 def discovery_href(url: str) -> str | None:

@@ -67,19 +67,25 @@ def _stream_payload(obj: bytes) -> bytes | None:
     return raw
 
 
+# /Filter value: a single name or an array of names.  The Flate match is
+# name-boundary-aware — a bare ``/Fl`` abbreviation counts, but dict keys
+# that merely START with /Fl (e.g. ``/Flags 4``) must not send an
+# uncompressed stream to zlib and silently drop its text.
+_FILTER_VAL_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z]*)")
+_FLATE_NAME_RE = re.compile(rb"/Fl(?:ateDecode)?(?![0-9A-Za-z])")
+
+
 def _inflate(obj: bytes, raw: bytes) -> bytes | None:
     head = obj[:_STREAM_RE.search(obj).start()]
-    if b"/FlateDecode" in head or b"/Fl" in head.replace(b"/Flate", b""):
+    m = _FILTER_VAL_RE.search(head)
+    if m and _FLATE_NAME_RE.search(m.group(1)):
         try:
-            out = zlib.decompressobj().decompress(raw, 1 << 26)
+            return zlib.decompressobj().decompress(raw, 1 << 26)
         except zlib.error:
             return None
-        if b"/PredictorNONSENSE" in head:  # placeholder: predictors are
-            return None                    # for xref/image streams only
-        return out
     if b"/Filter" not in head:
         return raw  # uncompressed stream
-    return None  # LZW/DCT/CCITT/… — not text
+    return None  # LZW/DCT/CCITT/indirect-ref filter — not text
 
 
 def _unpack_objstm(obj: bytes, decoded: bytes):

@@ -840,9 +840,12 @@ PIVOT (count(*) FOR event_type IN ('click' AS click, 'view' AS view,
                                    'error' AS error))
 """, """
 SELECT user_id,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_error
 FROM events WHERE user_id < 40
 GROUP BY user_id
 """)
@@ -982,7 +985,7 @@ WITH gated AS (
   FROM gated GROUP BY md5(text)
 )
 SELECT lang, count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(avg(n_chars_m), 2) AS avg_chars
 FROM kept GROUP BY lang
 """, """
@@ -1002,7 +1005,7 @@ WITH gated AS (
   FROM gated GROUP BY md5(text)
 )
 SELECT lang, count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(avg(n_chars_m), 2) AS avg_chars
 FROM kept GROUP BY lang
 """)

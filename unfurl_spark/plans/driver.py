@@ -51,6 +51,36 @@ def _done_buckets(spark: SparkSession, metrics_dir: str,
     return {r["bucket"] for r in rows}
 
 
+def _done_media_buckets(spark: SparkSession, metrics_dir: str,
+                        n_buckets: int, ops) -> set[int]:
+    """Committed media buckets whose recorded op set COVERS the requested
+    one.  A first run with ops=(decode,) must not mark buckets done for a
+    later run that adds features/resize/frames — the extra tables would be
+    silently left missing data.  Metrics rows carry the comma-joined op
+    set; a bucket resumes only when every requested op was committed."""
+    required = set(ops) | {"decode"}
+    try:
+        m = spark.read.parquet(metrics_dir)
+    except Exception:  # noqa: BLE001 — first run, no metrics yet
+        return set()
+    if "n_buckets" not in m.columns:  # pre-versioned metrics: invalidate
+        return set()
+    m = m.filter((F.col("status") == "committed")
+                 & (F.col("n_buckets") == n_buckets))
+    if "ops" not in m.columns:
+        # legacy rows with no op lineage: only honorable when nothing
+        # beyond the always-on decode pass is requested
+        if required <= {"decode"}:
+            return {r["bucket"]
+                    for r in m.select("bucket").distinct().collect()}
+        return set()
+    done_ops: dict[int, set[str]] = {}
+    for r in m.select("bucket", "ops").distinct().collect():
+        done_ops.setdefault(r["bucket"], set()).update(
+            o for o in (r["ops"] or "").split(",") if o)
+    return {b for b, s in done_ops.items() if required <= s}
+
+
 def _chunk_stats(spark: SparkSession, data_dir: str, chunk: list[int],
                  agg_exprs: list, zero_cols: dict):
     """Per-bucket stats for a committed chunk, read back from the data
@@ -122,7 +152,7 @@ def run_media_job(spark: SparkSession, media_path: str, output_dir: str,
                        F.lit(n_buckets)).cast("int")
 
     media = read_table(spark, media_path).withColumn("bucket", bucket_of)
-    done = _done_buckets(spark, out_metrics, n_buckets)
+    done = _done_media_buckets(spark, out_metrics, n_buckets, ops)
     todo = [b for b in range(n_buckets) if b not in done]
     summary = {"run_id": run_id, "resumed_buckets": sorted(done),
                "processed_buckets": [], "n_media": 0, "n_decoded": 0,
@@ -160,6 +190,8 @@ def run_media_job(spark: SparkSession, media_path: str, output_dir: str,
                  .withColumn("run_id", F.lit(run_id))
                  .withColumn("status", F.lit("committed"))
                  .withColumn("n_buckets", F.lit(n_buckets))
+                 .withColumn("ops", F.lit(
+                     ",".join(sorted(set(ops) | {"decode"}))))
                  .withColumn("wall_sec", F.lit(round(wall, 3))))
         append_metrics(stats, out_metrics)
         agg = stats.agg(F.sum("n_media"), F.sum("n_decoded"),
