@@ -544,6 +544,102 @@ def mp4_metadata(data: bytes) -> dict:
     return out
 
 
+def _ebml_vint(data: bytes, pos: int, strip_marker: bool):
+    """Read one EBML variable-length integer at ``pos``; returns
+    (value, next_pos, length) or (None, pos, 0) on malformed input.
+    Element IDs keep their marker bits (matching the spec's hex IDs);
+    sizes strip them."""
+    if pos >= len(data):
+        return None, pos, 0
+    b0 = data[pos]
+    if b0 == 0:
+        return None, pos, 0
+    length, mask = 1, 0x80
+    while not (b0 & mask):
+        mask >>= 1
+        length += 1
+    if pos + length > len(data):
+        return None, pos, 0
+    val = (b0 & (mask - 1)) if strip_marker else b0
+    for i in range(1, length):
+        val = (val << 8) | data[pos + i]
+    return val, pos + length, length
+
+
+def _walk_ebml(data: bytes, start: int, end: int):
+    """Yield (element_id, payload_start, payload_end) for the EBML
+    elements of one span.  Unknown-size elements (all size bits set)
+    extend to the span end; malformed vints terminate the walk (per-doc
+    isolation contract, mirroring ``_walk_mp4_boxes``)."""
+    pos = start
+    while pos < end:
+        eid, p1, _ = _ebml_vint(data, pos, strip_marker=False)
+        if eid is None:
+            return
+        size, p2, slen = _ebml_vint(data, p1, strip_marker=True)
+        if size is None:
+            return
+        if size == (1 << (7 * slen)) - 1:  # unknown size → to span end
+            pend = end
+        else:
+            pend = p2 + size
+            if pend > end:
+                return
+        yield eid, p2, pend
+        pos = pend
+
+
+def _ebml_uint(data: bytes, start: int, end: int) -> int:
+    return int.from_bytes(data[start:end], "big") if end > start else 0
+
+
+def mkv_metadata(data: bytes) -> dict:
+    """Matroska/WebM container depth, matching the mp4 arm: EBML walk to
+    DocType, Segment→Info (TimestampScale + Duration) and Segment→Tracks
+    →TrackEntry→Video (PixelWidth × PixelHeight; largest video track
+    wins).  Pure stdlib, header-only — Info/Tracks precede clusters in
+    every muxer's output, so the byte-cap prefix carries them."""
+    out: dict = {}
+    if data[:4] != b"\x1aE\xdf\xa3":
+        return out
+    for eid, ps, pe in _walk_ebml(data, 0, len(data)):
+        if eid == 0x1A45DFA3:  # EBML header
+            for cid, cs, ce in _walk_ebml(data, ps, pe):
+                if cid == 0x4282:  # DocType
+                    out["doctype"] = (data[cs:ce]
+                                      .decode("latin-1", "replace")
+                                      .strip("\x00"))
+        elif eid == 0x18538067:  # Segment
+            scale, dur = 1_000_000, None  # TimestampScale default: 1 ms
+            for cid, cs, ce in _walk_ebml(data, ps, pe):
+                if cid == 0x1549A966:  # Info
+                    for gid, gs, ge in _walk_ebml(data, cs, ce):
+                        if gid == 0x2AD7B1:  # TimestampScale (ns)
+                            scale = _ebml_uint(data, gs, ge) or scale
+                        elif gid == 0x4489 and ge - gs in (4, 8):
+                            dur = struct.unpack(
+                                ">f" if ge - gs == 4 else ">d",
+                                data[gs:ge])[0]
+                elif cid == 0x1654AE6B:  # Tracks
+                    for tid, ts, te in _walk_ebml(data, cs, ce):
+                        if tid != 0xAE:  # TrackEntry
+                            continue
+                        w = h = 0
+                        for aid, a0, a1 in _walk_ebml(data, ts, te):
+                            if aid == 0xE0:  # Video
+                                for vid, vs, ve in _walk_ebml(data, a0, a1):
+                                    if vid == 0xB0:  # PixelWidth
+                                        w = _ebml_uint(data, vs, ve)
+                                    elif vid == 0xBA:  # PixelHeight
+                                        h = _ebml_uint(data, vs, ve)
+                        if w and h and w * h > (out.get("width", 0)
+                                                * out.get("height", 0)):
+                            out["width"], out["height"] = w, h
+            if dur is not None and dur > 0:
+                out["duration_s"] = round(dur * scale / 1e9, 3)
+    return out
+
+
 def exiftool_video(url: str, data: bytes) -> dict:
     """unfurl-exiftool video parity (unfurl-exiftool/src/index.ts:69-74):
     the output shape is exactly {type, url, encodingFormat} — the reference
@@ -559,7 +655,9 @@ def exiftool_video(url: str, data: bytes) -> dict:
         else:
             fmt = _FTYP_MIME.get(brand, "video/mp4")
     elif data[:4] == b"\x1aE\xdf\xa3":
-        fmt = "video/webm"
+        doctype = mkv_metadata(data[:EXIF_BYTE_CAP]).get("doctype", "")
+        fmt = ("video/x-matroska" if doctype.startswith("matroska")
+               else "video/webm")
     if fmt is None:
         return {"type": "video", "url": url}
     return {"type": "video", "url": url, "encodingFormat": fmt}

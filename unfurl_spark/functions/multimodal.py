@@ -42,7 +42,7 @@ from .codecs import (
     resize_area,
 )
 from .jpegc import decode_jpeg
-from .media import _png_info, _sniff, _webp_info, mp4_metadata
+from .media import _png_info, _sniff, _webp_info, mkv_metadata, mp4_metadata
 
 # cap payload bytes entering Python — headers live in the prefix (the
 # reference caps EXIF reads at 131072, unfurl-exif/src/index.ts:21)
@@ -134,6 +134,9 @@ def _dims_raw(container: str | None, data: bytes):
         return None, None
     if container == "mp4":
         meta = mp4_metadata(data)
+        return meta.get("width"), meta.get("height")
+    if container == "webm":
+        meta = mkv_metadata(data)
         return meta.get("width"), meta.get("height")
     return None, None
 
@@ -375,7 +378,8 @@ def sample_frames(df: DataFrame, n_frames: int = 4,
                         o_ok.append("ok")
                     continue
                 try:
-                    duration_s = mp4_metadata(data).get("duration_s")
+                    duration_s = (mp4_metadata(data).get("duration_s")
+                                  or mkv_metadata(data).get("duration_s"))
                 except Exception:  # malformed container → stub timing
                     duration_s = None
                 if duration_s:

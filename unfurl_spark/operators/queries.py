@@ -1072,6 +1072,67 @@ _CC_EDGES_SQL = (", sig AS (%s)\n"
                  % _MINHASH_BODY)
 
 
+def _cc_star_contraction(spark: SparkSession, edges: DataFrame,
+                         max_rounds: int = 50):
+    """Large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 — public literature).
+    Converges in O(log² n) rounds even on chain/skewed components where
+    plain min-label propagation needs O(diameter) rounds, and every
+    round is bucket-local: two groupBy+join pairs, no all-pairs.
+
+    Lineage is truncated each round — ``checkpoint()`` to reliable
+    storage when a checkpoint dir is configured (cluster mode), else
+    ``localCheckpoint`` (local/test).  Returns (star_edges, rounds):
+    at fixpoint the edge set is a star forest (node → component min).
+    """
+    from pyspark.sql import functions as F
+
+    use_ckpt = spark.sparkContext.getCheckpointDir() is not None
+
+    def persist(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if use_ckpt else df.localCheckpoint()
+
+    def sig(df: DataFrame) -> tuple:
+        # decimal sum: a long sum of xxhash64 values overflows ANSI mode
+        r = df.agg(F.count("*").alias("n"),
+                   F.coalesce(F.sum(F.xxhash64("src", "dst")
+                                    .cast("decimal(38,0)")),
+                              F.lit(0)).alias("h")).collect()[0]
+        return (r["n"], r["h"])
+
+    # canonical direction src > dst, self-loops dropped
+    e = persist(edges.select(F.greatest("src", "dst").alias("src"),
+                             F.least("src", "dst").alias("dst"))
+                .where(F.col("src") != F.col("dst")).distinct())
+    prev_sig = sig(e)
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        # large-star: every neighbor v > u links to m = min(Γ(u) ∪ {u})
+        sym = e.union(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        m_of = (sym.groupBy("src").agg(F.min("dst").alias("mn"))
+                .select("src", F.least("mn", "src").alias("m")))
+        large = (sym.join(m_of, "src")
+                 .where(F.col("dst") > F.col("src"))
+                 .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                 .union(m_of.select(F.col("src"), F.col("m").alias("dst")))
+                 .where(F.col("src") != F.col("dst")).distinct())
+        # small-star: smaller neighbors (and u) link to m = min(N⁻(u)∪{u})
+        m2 = (large.groupBy("src").agg(F.min("dst").alias("mn"))
+              .select("src", F.least("mn", "src").alias("m")))
+        small = (large.join(m2, "src")
+                 .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                 .union(m2.select(F.col("src"), F.col("m").alias("dst")))
+                 .where(F.col("src") != F.col("dst")).distinct())
+        e = persist(small)
+        cur_sig = sig(e)
+        if cur_sig == prev_sig:
+            break
+        prev_sig = cur_sig
+    return e, rounds
+
+
 def _connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1084,36 +1145,18 @@ def _connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "slice(w, 3, size(w) - 2), (y, z) -> "
                       "concat(y, ' ', z)), (x, yz) -> concat(x, ' ', yz)) "
                       "ELSE array() END) t AS g)" + _CC_EDGES_SQL)
-    sym = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
-    labels = (sym.select(F.col("src").alias("node")).distinct()
-              .withColumn("label", F.col("node")))
-    for _ in range(32):  # diameter bound; real corpora converge in < 10
-        prop = (sym.join(labels, sym["dst"] == labels["node"])
-                .groupBy("src").agg(F.min("label").alias("nbr")))
-        relabeled = (labels.join(prop, labels["node"] == prop["src"], "left")
-                     .select(labels["node"],
-                             F.least(labels["label"],
-                                     F.coalesce(prop["nbr"],
-                                                labels["label"]))
-                             .alias("new_label"),
-                             labels["label"].alias("old_label"))
-                     # materialize + TRUNCATE lineage each round — without
-                     # this the plan re-derives every prior iteration and
-                     # the DAG grows exponentially (standard iterative-
-                     # algorithm hygiene; a cluster job would use
-                     # checkpoint() to reliable storage)
-                     .localCheckpoint())
-        changed = relabeled.filter(
-            F.col("new_label") < F.col("old_label")).count()
-        labels = relabeled.select(
-            "node", F.col("new_label").alias("label"))
-        if changed == 0:
-            break
-    sym.unpersist()
-    return labels.select(F.col("node").alias("doc_id"),
-                         F.col("label").alias("component"))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node"))).distinct())
+    stars, rounds = _cc_star_contraction(spark, edges)
+    _connected_components.last_rounds = rounds
+    return (nodes.join(stars.withColumnRenamed("src", "node"),
+                       "node", "left")
+            .select(F.col("node").alias("doc_id"),
+                    F.coalesce(F.col("dst"), F.col("node"))
+                    .alias("component")))
+
+
+_connected_components.last_rounds = 0
 
 
 # transitive closure + min-reachable label per node
