@@ -227,11 +227,13 @@ def test_jpeg_dct_spec_orientation():
     assert abs(px[0, 0] - px[0, 7]) > 1  # columns vary
 
 
-def test_jpeg_progressive_rejected():
+def test_jpeg_arithmetic_coding_rejected():
+    # SOF9 (arithmetic sequential) stays an honest CodecUnavailable
+    # boundary; progressive (SOF2) is now decoded for real
     img = np.zeros((8, 8, 1), np.uint8)
     enc = bytearray(J.encode_jpeg(img))
     i = enc.index(b"\xFF\xC0")
-    enc[i + 1] = 0xC2
+    enc[i + 1] = 0xC9
     with pytest.raises(C.CodecUnavailable):
         J.decode_jpeg(bytes(enc))
 
@@ -334,3 +336,49 @@ def test_jpeg_fill_bytes_in_entropy_segment():
     eoi = data.rfind(b"\xff\xd9")
     assert (J.decode_jpeg(data[:eoi] + b"\xff\xff" + data[eoi:])
             == base).all()
+
+
+def test_jpeg_progressive_matches_baseline_exactly():
+    """Progressive and baseline encodes carry the SAME quantized
+    coefficients, so decodes must be pixel-identical — this pins the
+    progressive scan machinery (DC/AC first+refine, EOB runs,
+    correction bits) against the independently-verified baseline path."""
+    rng = np.random.default_rng(7)
+    images = [
+        np.full((16, 24, 3), 100, np.uint8),                  # EOB runs
+        rng.integers(0, 256, (24, 33, 3), dtype=np.uint8),    # dense AC
+        np.tile((np.arange(40, dtype=np.uint8) * 6)[None, :, None],
+                (28, 1, 3)),                                  # low-freq
+        rng.integers(0, 256, (17, 19, 1), dtype=np.uint8),    # grayscale
+    ]
+    for img in images:
+        for q in (50, 85, 95):
+            base = J.decode_jpeg(J.encode_jpeg(img, quality=q))
+            prog = J.decode_jpeg(
+                J.encode_jpeg_progressive(img, quality=q))
+            assert (base == prog).all(), (img.shape, q)
+
+
+def test_jpeg_progressive_subsampled_matches_baseline():
+    rng = np.random.default_rng(11)
+    for shape in [(32, 48, 3), (23, 37, 3), (8, 8, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = J.decode_jpeg(J.encode_jpeg(img, quality=85,
+                                           subsample=True))
+        prog = J.decode_jpeg(J.encode_jpeg_progressive(
+            img, quality=85, subsample=True))
+        assert (base == prog).all(), shape
+
+
+def test_jpeg_progressive_truncation_total():
+    """Truncated progressive streams raise CodecError or decode a
+    partial refinement — never crash, never hang."""
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = J.encode_jpeg_progressive(img, quality=85)
+    for cut in range(2, len(data), max(1, len(data) // 60)):
+        try:
+            out = J.decode_jpeg(data[:cut])
+            assert out.shape == (16, 16, 3)
+        except (C.CodecError, C.CodecUnavailable):
+            pass

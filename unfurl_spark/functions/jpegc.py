@@ -1,15 +1,19 @@
-"""Baseline JPEG codec (ITU-T T.81 sequential DCT) in stdlib + numpy.
+"""JPEG codec (ITU-T T.81) in stdlib + numpy: baseline sequential DCT
+AND progressive (SOF2).
 
 Decoder: marker parse → Huffman entropy decode (with byte stuffing and
 restart markers) → dequantize → vectorized numpy IDCT → chroma
-upsample → YCbCr→RGB.  Handles SOF0/SOF1, 4:4:4 / 4:2:2 / 4:2:0
-sampling, DRI restarts.  Progressive (SOF2) and arithmetic coding raise
-``CodecUnavailable`` — they are rare in web corpora and out of scope.
+upsample → YCbCr→RGB.  Handles SOF0/SOF1 and SOF2 (spectral selection
++ successive approximation per T.81 G.1.2, incl. EOB runs and AC
+refinement correction bits), 4:4:4 / 4:2:2 / 4:2:0 sampling, DRI
+restarts.  Arithmetic coding (SOF9+) raises ``CodecUnavailable``.
 
-Encoder (test-fixture use): 4:4:4, Annex K quantization + Huffman
-tables, no restarts.  Encoder and decoder are independent walks of the
-spec (canonical table constants from T.81 Annex K), so a round-trip
-test exercises both directions of the entropy coder and the DCT pair.
+Encoders (test-fixture use): baseline with Annex K tables, and a
+progressive encoder with the conventional multi-scan script.  Encoder
+and decoder are independent walks of the spec, so round-trip tests
+exercise both directions — and progressive-vs-baseline encodes of the
+same image must decode to IDENTICAL pixels (same coefficients,
+different entropy organization), which pins each against the other.
 
 The reference never decodes JPEG essence — its exif plugin stops at
 metadata (packages/unfurl-exif/src/index.ts:16-47).  This module exists
@@ -186,6 +190,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict] = {}  # (class, id) → code table
     frame = None  # (w, h, comps)
     restart_interval = 0
+    progressive = False
+    prog_state: dict[int, dict] = {}  # comp id → {"coefs": ndarray}
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise CodecError("jpeg: marker expected")
@@ -216,7 +222,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 values = list(body[i + 17:i + 17 + nval])
                 htables[(tclass, tid)] = _canonical_codes(bits, values)
                 i += 17 + nval
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline/extended seq
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 seq, SOF2 progressive
             _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if nc not in (1, 3):
                 # 4-component Adobe CMYK/YCCK (and exotic 2-component)
@@ -229,8 +235,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": sampling >> 4,
                               "v": sampling & 15, "q": qid})
             frame = (w, h, comps)
-        elif marker == 0xC2:
-            raise CodecUnavailable("jpeg: progressive (SOF2)")
+            if marker == 0xC2:
+                progressive = True
+                _check_dims(w, h, "jpeg")
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                for c in comps:
+                    prog_state[c["id"]] = {
+                        "coefs": np.zeros(
+                            (mcuy * c["v"], mcux * c["h"], 64), np.int32)}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise CodecUnavailable(f"jpeg: SOF{marker - 0xC0} unsupported")
@@ -244,9 +259,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for si in range(ns):
                 cid, tids = body[1 + 2 * si], body[2 + 2 * si]
                 scan.append((cid, tids >> 4, tids & 15))
-            return _decode_scan(data, pos + 2 + seg_len, frame, scan,
-                                qtables, htables, restart_interval)
+            if not progressive:
+                return _decode_scan(data, pos + 2 + seg_len, frame, scan,
+                                    qtables, htables, restart_interval)
+            ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            pos = _decode_prog_scan(
+                data, pos + 2 + seg_len, frame, scan, ss, se,
+                ahal >> 4, ahal & 15, htables, restart_interval,
+                prog_state)
+            continue
         pos += 2 + seg_len
+    if progressive and frame is not None:
+        return _reconstruct_progressive(frame, prog_state, qtables)
     raise CodecError("jpeg: no scan data")
 
 
@@ -328,6 +352,202 @@ def _decode_scan(data, pos, frame, scan, qtables, htables,
 
 
 # ---------------------------------------------------------------------------
+# progressive (SOF2) scan decoding — T.81 G.1.2: spectral selection bands
+# plus successive approximation.  Coefficients accumulate across scans in
+# natural (raster) order; the final IDCT runs once over all blocks.
+
+
+def _ac_first_block(reader, ac_t, coef, ss, se, al, eobrun):
+    """One block of an AC first scan (Ah=0).  Returns the new EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_huff(ac_t)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:  # EOBn: run of (1<<r)+bits blocks incl. this one
+                return (1 << r) + (reader.read_bits(r) if r else 0) - 1
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise CodecError("jpeg: AC index overflow")
+        coef[int(ZIGZAG[k])] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader, ac_t, coef, ss, se, al, eobrun):
+    """One block of an AC refinement scan (Ah>0), per T.81 G.1.2.3:
+    correction bits ride along for every already-nonzero coefficient the
+    scan passes over.  Returns the new EOB run."""
+    bit = 1 << al
+
+    def correct(z):
+        if reader.read_bit() and not (abs(coef[z]) & bit):
+            coef[z] += bit if coef[z] > 0 else -bit
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_huff(ac_t)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) + (reader.read_bits(r) if r else 0)
+                    break
+                val = 0  # ZRL: skip 16 zero-history coeffs
+            elif s == 1:
+                val = bit if reader.read_bit() else -bit
+            else:
+                raise CodecError("jpeg: bad AC refine magnitude")
+            while k <= se:
+                z = int(ZIGZAG[k])
+                if coef[z] != 0:
+                    correct(z)
+                    k += 1
+                    continue
+                if r == 0:
+                    if val:
+                        coef[z] = val
+                    k += 1
+                    break
+                r -= 1
+                k += 1
+    if eobrun > 0:
+        # EOB region covers the rest of this block's band
+        while k <= se:
+            z = int(ZIGZAG[k])
+            if coef[z] != 0:
+                correct(z)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(data, pos, frame, scan, ss, se, ah, al,
+                      htables, restart_interval, state) -> int:
+    """Decode one progressive SOS; returns the file offset of the next
+    marker.  DC scans (ss=0) may interleave components in MCU order; AC
+    scans are single-component in block raster order (T.81 G.1)."""
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    by_id = {c["id"]: c for c in comps}
+    reader = _BitReader(data, pos)
+    eobrun = 0
+    preds = {cid: 0 for cid, _, _ in scan}
+
+    def dc_block(coef, cid, dc_t):
+        if ah == 0:  # DC first (with point transform)
+            t = reader.decode_huff(dc_t)
+            preds[cid] += _extend(reader.read_bits(t), t)
+            coef[0] = preds[cid] << al
+        else:  # DC refinement: one bit per block
+            coef[0] |= reader.read_bit() << al
+
+    n_units = 0
+
+    def maybe_restart():
+        nonlocal eobrun
+        if (restart_interval and n_units
+                and n_units % restart_interval == 0):
+            reader.align_restart()
+            eobrun = 0
+            for cid in preds:
+                preds[cid] = 0
+
+    if ss == 0 and len(scan) > 1:
+        # interleaved DC scan: MCU order over the full grid
+        tabs = {}
+        for cid, dc_id, _ac in scan:
+            tabs[cid] = htables[(0, dc_id)] if ah == 0 else None
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for cid, _dc, _ac in scan:
+                    c = by_id[cid]
+                    coefs = state[cid]["coefs"]
+                    for bv in range(c["v"]):
+                        for bh in range(c["h"]):
+                            dc_block(coefs[my * c["v"] + bv,
+                                           mx * c["h"] + bh],
+                                     cid, tabs[cid])
+                n_units += 1
+    else:
+        # single-component scan: the component's own block raster
+        cid, dc_id, ac_id = scan[0]
+        c = by_id[cid]
+        coefs = state[cid]["coefs"]
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        nbx = (cw + 7) // 8
+        nby = (ch + 7) // 8
+        dc_t = htables.get((0, dc_id)) if ss == 0 and ah == 0 else None
+        ac_t = htables.get((1, ac_id)) if ss > 0 else None
+        for by in range(nby):
+            for bx in range(nbx):
+                maybe_restart()
+                coef = coefs[by, bx]
+                if ss == 0:
+                    dc_block(coef, cid, dc_t)
+                elif ah == 0:
+                    eobrun = _ac_first_block(
+                        reader, ac_t, coef, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine_block(
+                        reader, ac_t, coef, ss, se, al, eobrun)
+                n_units += 1
+
+    # skip to the next marker (entropy padding / stray RSTs in between)
+    p = reader.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] not in (0x00, 0xFF):
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    return len(data)
+
+
+def _reconstruct_progressive(frame, state, qtables) -> np.ndarray:
+    """Dequantize + IDCT every accumulated block, assemble planes, and
+    run the shared upsample/color tail."""
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    ct = _DCT_C.astype(np.float32)
+    planes = []
+    for c in comps:
+        if c["q"] not in qtables:
+            raise CodecError("jpeg: missing quantization table")
+        qt_nat = np.empty(64, np.float32)
+        qt_nat[ZIGZAG] = qtables[c["q"]].astype(np.float32)
+        coefs = state[c["id"]]["coefs"].astype(np.float32) * qt_nat
+        nby, nbx = coefs.shape[:2]
+        blocks = coefs.reshape(nby, nbx, 8, 8)
+        # IDCT all blocks at once: x = C X C.T per block
+        px = np.einsum("ij,abjk,lk->abil", ct, blocks, ct,
+                       optimize=True)
+        plane = px.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8) + 128.0
+        if c["h"] != hmax or c["v"] != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                              hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(planes[0], 0, 255).astype(np.uint8)[:, :, None]
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
 # encoder (4:4:4, Annex K tables, quality via linear scale)
 
 
@@ -367,13 +587,10 @@ def _magnitude(v: int) -> tuple[int, int]:
     return t, (v if v >= 0 else v + (1 << t) - 1)
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85,
-                subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
-    """Baseline encoder.  ``subsample=True`` emits 4:2:0 (luma 2×2 per
-    MCU, chroma box-filtered 2×); ``restart_interval`` emits DRI + RSTn
-    markers every N MCUs — both exist chiefly so the decoder's
-    upsample/restart paths have independent fixtures."""
+def _prepare_planes(img: np.ndarray, quality: int, subsample: bool):
+    """Shared encoder front half: color convert + quality-scaled quant
+    tables + optional 4:2:0 chroma downsample + MCU-padded planes.
+    Returns (h, w, nc, factors, qts, padded, mcux, mcuy)."""
     img = np.atleast_3d(img.astype(np.uint8))
     h, w, c = img.shape
     if c == 4:
@@ -406,6 +623,33 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
                     + ph[0::2, 1::2] + ph[1::2, 1::2]) / 4.0
         planes = [planes[0], down2(planes[1]), down2(planes[2])]
 
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = []
+    for ci, p in enumerate(planes):
+        hi, vi = factors[ci]
+        pw, ph = mcux * hi * 8, mcuy * vi * 8
+        pp = np.zeros((ph, pw), np.float32)
+        sh, sw = p.shape
+        pp[:sh, :sw] = p
+        pp[sh:, :sw] = p[-1:, :]
+        pp[:, sw:] = pp[:, sw - 1:sw]
+        padded.append(pp)
+    return h, w, nc, factors, qts, padded, mcux, mcuy
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85,
+                subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """Baseline encoder.  ``subsample=True`` emits 4:2:0 (luma 2×2 per
+    MCU, chroma box-filtered 2×); ``restart_interval`` emits DRI + RSTn
+    markers every N MCUs — both exist chiefly so the decoder's
+    upsample/restart paths have independent fixtures."""
+    h, w, nc, factors, qts, padded, mcux, mcuy = _prepare_planes(
+        img, quality, subsample)
+
     out = bytearray(b"\xFF\xD8")
     for tid, qt in enumerate(qts):
         out += (b"\xFF\xDB" + struct.pack(">HB", 67, tid)
@@ -436,22 +680,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         dc_tabs.append(_encode_codes(*HT_DC_CHROMA))
         ac_tabs.append(_encode_codes(*HT_AC_CHROMA))
 
-    hmax = max(f[0] for f in factors)
-    vmax = max(f[1] for f in factors)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     ct = _DCT_C.astype(np.float32)
-    padded = []
-    for ci, p in enumerate(planes):
-        hi, vi = factors[ci]
-        pw, ph = mcux * hi * 8, mcuy * vi * 8
-        pp = np.zeros((ph, pw), np.float32)
-        sh, sw = p.shape
-        pp[:sh, :sw] = p
-        pp[sh:, :sw] = p[-1:, :]
-        pp[:, sw:] = pp[:, sw - 1:sw]
-        padded.append(pp)
-
     bw = _BitWriter()
     preds = [0] * nc
     rst = 0
@@ -507,3 +736,253 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
             mcu_count += 1
     bw.flush()
     return bytes(out) + bytes(bw.out) + b"\xFF\xD9"
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) encoder — fixture generator for the progressive
+# decoder paths: spectral selection bands, successive approximation
+# (DC + AC first/refine scans), EOB runs with correction bits.  Scan
+# script mirrors the conventional default (DC Al=1 → luma low band →
+# chroma → luma refinements → DC refine → AC refines to Al=0).
+
+# flat Huffman tables covering every (run, size) symbol incl. the EOBn
+# codes (r<<4) the Annex K tables lack: all 176 symbols at 9 bits
+_HT_PROG_AC_SYMS = [(r << 4) | s for r in range(16) for s in range(11)]
+_HT_PROG_AC = ([0] * 8 + [len(_HT_PROG_AC_SYMS)] + [0] * 7,
+               _HT_PROG_AC_SYMS)
+_HT_PROG_DC = ([0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+               list(range(12)))
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """T.81 G.1.2.2 AC point transform: magnitude shift, sign kept."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def _enc_ac_first_scan(bw, blocks, ss, se, al, ac_tab):
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        while eobrun > 0:
+            r = min(14, eobrun.bit_length() - 1)
+            take = min(eobrun, (1 << r) + (1 << r) - 1)
+            code, ln = ac_tab[r << 4]
+            bw.write(code, ln)
+            if r:
+                bw.write(take - (1 << r), r)
+            eobrun -= take
+
+    for q in blocks:
+        vals = [_pt_ac(int(q[k]), al) for k in range(ss, se + 1)]
+        if not any(vals):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for v in vals:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_tab[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            t, enc = _magnitude(v)
+            code, ln = ac_tab[(run << 4) | t]
+            bw.write(code, ln)
+            bw.write(enc, t)
+            run = 0
+        if run:
+            eobrun += 1  # trailing zeros fold into an EOB run
+    flush_eob()
+
+
+def _enc_ac_refine_scan(bw, blocks, ss, se, al, ac_tab):
+    """AC refinement (Ah = Al+1 → Al), the inverse of
+    ``_ac_refine_block``: newly-nonzero coefficients get (run,1)+sign
+    codes, already-nonzero ones ride as interleaved correction bits,
+    EOB runs buffer their correction bits until flushed."""
+    eobrun = 0
+    be: list[int] = []  # correction bits buffered across the EOB region
+
+    def flush_eob():
+        nonlocal eobrun, be
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_tab[r << 4]
+            bw.write(code, ln)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in be:
+            bw.write(b, 1)
+        be = []
+
+    for q in blocks:
+        band = [int(q[k]) for k in range(ss, se + 1)]
+        mags = [abs(v) >> al for v in band]
+        # events since the last emitted code: zeros and correction bits
+        events: list = []
+        emitted_any = False
+        for v, m in zip(band, mags):
+            if m == 0:
+                events.append("z")
+            elif m > 1:  # history coefficient → correction bit
+                events.append(m & 1)
+            else:  # newly nonzero at this precision
+                if not emitted_any:
+                    flush_eob()
+                    emitted_any = True
+                while sum(1 for e in events if e == "z") > 15:
+                    code, ln = ac_tab[0xF0]
+                    bw.write(code, ln)
+                    z = 0
+                    while z < 16:
+                        ev = events.pop(0)
+                        if ev == "z":
+                            z += 1
+                        else:
+                            bw.write(ev, 1)
+                r = sum(1 for e in events if e == "z")
+                code, ln = ac_tab[(r << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if v >= 0 else 0, 1)
+                for ev in events:
+                    if ev != "z":
+                        bw.write(ev, 1)
+                events = []
+        trailing_bits = [e for e in events if e != "z"]
+        if events:
+            eobrun += 1
+            be.extend(trailing_bits)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 85,
+                            subsample: bool = False) -> bytes:
+    h, w, nc, factors, qts, padded, mcux, mcuy = _prepare_planes(
+        img, quality, subsample)
+    ct = _DCT_C.astype(np.float32)
+
+    # quantized zigzag coefficients for every padded block per component
+    qz = []
+    for ci, pp in enumerate(padded):
+        ti = min(ci, 1) if nc > 1 else 0
+        nby, nbx = pp.shape[0] // 8, pp.shape[1] // 8
+        blocks = (pp.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3))
+        coeffs = np.einsum("ji,abjk,kl->abil", ct, blocks, ct,
+                           optimize=True)  # FDCT: X = M x M.T
+        q = np.round(coeffs.reshape(nby, nbx, 64)[:, :, ZIGZAG]
+                     / qts[ti][ZIGZAG]).astype(np.int64)
+        qz.append(q)
+
+    out = bytearray(b"\xFF\xD8")
+    for tid, qt in enumerate(qts):
+        out += (b"\xFF\xDB" + struct.pack(">HB", 67, tid)
+                + qt[ZIGZAG].astype(np.uint8).tobytes())
+    out += b"\xFF\xC2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        hi, vi = factors[ci]
+        out += bytes([ci + 1, (hi << 4) | vi,
+                      min(ci, 1) if nc > 1 else 0])
+    for (tclass, tid), (bits, values) in (((0, 0), _HT_PROG_DC),
+                                          ((1, 0), _HT_PROG_AC)):
+        out += b"\xFF\xC4" + struct.pack(
+            ">HB", 19 + len(values), (tclass << 4) | tid)
+        out += bytes(bits) + bytes(values)
+    dc_tab = _encode_codes(*_HT_PROG_DC)
+    ac_tab = _encode_codes(*_HT_PROG_AC)
+
+    def comp_grid(ci):
+        """Non-interleaved block grid (excludes interleave-only dummies)."""
+        hi, vi = factors[ci]
+        hmax = max(f[0] for f in factors)
+        vmax = max(f[1] for f in factors)
+        nbx = ((w * hi + hmax - 1) // hmax + 7) // 8
+        nby = ((h * vi + vmax - 1) // vmax + 7) // 8
+        return nbx, nby
+
+    def sos(comp_ids, ss, se, ah, al, payload: bytes) -> None:
+        ns = len(comp_ids)
+        out.extend(b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * ns, ns))
+        for ci in comp_ids:
+            out.extend(bytes([ci + 1, 0x00]))  # DC/AC table 0
+        out.extend(bytes([ss, se, (ah << 4) | al]))
+        out.extend(payload)
+
+    def dc_scan(al, first):
+        bw = _BitWriter()
+        preds = [0] * nc
+        if nc > 1:  # interleaved over the full MCU grid
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in range(nc):
+                        hi, vi = factors[ci]
+                        for bv in range(vi):
+                            for bh in range(hi):
+                                v = int(qz[ci][my * vi + bv,
+                                               mx * hi + bh, 0]) >> al
+                                if first:
+                                    t, enc = _magnitude(v - preds[ci])
+                                    preds[ci] = v
+                                    code, ln = dc_tab[t]
+                                    bw.write(code, ln)
+                                    if t:
+                                        bw.write(enc, t)
+                                else:
+                                    bw.write(v & 1, 1)
+        else:
+            nbx, nby = comp_grid(0)
+            for by in range(nby):
+                for bx in range(nbx):
+                    v = int(qz[0][by, bx, 0]) >> al
+                    if first:
+                        t, enc = _magnitude(v - preds[0])
+                        preds[0] = v
+                        code, ln = dc_tab[t]
+                        bw.write(code, ln)
+                        if t:
+                            bw.write(enc, t)
+                    else:
+                        bw.write(v & 1, 1)
+        bw.flush()
+        sos(list(range(nc)), 0, 0, 0 if first else al + 1, al,
+            bytes(bw.out))
+
+    def ac_scan(ci, ss, se, ah, al):
+        nbx, nby = comp_grid(ci)
+        blocks = [qz[ci][by, bx] for by in range(nby)
+                  for bx in range(nbx)]
+        bw = _BitWriter()
+        if ah == 0:
+            _enc_ac_first_scan(bw, blocks, ss, se, al, ac_tab)
+        else:
+            _enc_ac_refine_scan(bw, blocks, ss, se, al, ac_tab)
+        bw.flush()
+        sos([ci], ss, se, ah, al, bytes(bw.out))
+
+    # scan script (conventional default shape)
+    dc_scan(1, first=True)
+    if nc == 3:
+        ac_scan(0, 1, 5, 0, 2)
+        ac_scan(2, 1, 63, 0, 1)
+        ac_scan(1, 1, 63, 0, 1)
+        ac_scan(0, 6, 63, 0, 2)
+        ac_scan(0, 1, 63, 2, 1)
+        dc_scan(0, first=False)
+        ac_scan(2, 1, 63, 1, 0)
+        ac_scan(1, 1, 63, 1, 0)
+        ac_scan(0, 1, 63, 1, 0)
+    else:
+        ac_scan(0, 1, 5, 0, 2)
+        ac_scan(0, 6, 63, 0, 2)
+        ac_scan(0, 1, 63, 2, 1)
+        dc_scan(0, first=False)
+        ac_scan(0, 1, 63, 1, 0)
+    out += b"\xFF\xD9"
+    return bytes(out)
