@@ -1,0 +1,325 @@
+"""WebP VP8L (lossless) codec: encoder/decoder round-trips over every
+transform path, a hand-assembled known-answer bitstream written bit by
+bit from RFC 9649 (independent of the encoder's writer/Huffman
+machinery, so a shared encoder+decoder bug can't hide), mutation-fuzz
+totality, and the Spark decode path.
+
+The reference stops at WebP container headers
+(packages/unfurl-exif/src/index.ts:16-47); pixel decode serves the
+training-data side.  Its two webp fixtures are VP8 *lossy* — those
+stay the honest CodecUnavailable boundary, asserted below.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from unfurl_spark.functions.codecs import CodecUnavailable
+from unfurl_spark.functions.multimodal import decode_pixels
+from unfurl_spark.functions.vp8l import (
+    CodecError,
+    decode_vp8l,
+    decode_webp,
+    encode_vp8l,
+)
+
+RNG = np.random.default_rng(2024)
+
+
+def _img(h, w, c=4, ncolors=None, runs=False, rng=RNG):
+    if ncolors:
+        pal = rng.integers(0, 256, size=(ncolors, c), dtype=np.uint8)
+        out = pal[rng.integers(0, ncolors, size=(h, w))]
+    else:
+        out = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    if runs:
+        out[:, : w // 2] = out[:, :1]
+    return out
+
+
+def _expect(img):
+    """decode drops an all-opaque alpha channel."""
+    if img.shape[2] == 4 and not (img[:, :, 3] == 255).all():
+        return img
+    return img[:, :, :3]
+
+
+@pytest.mark.parametrize("kwargs,h,w,ncolors,runs", [
+    ({}, 5, 7, None, False),
+    ({}, 1, 1, None, False),
+    ({}, 1, 64, None, False),
+    ({"subtract_green": True}, 16, 16, None, False),
+    ({"cache_bits": 4}, 9, 13, None, False),
+    ({"use_lz77": True}, 11, 31, None, True),
+    ({"use_lz77": True, "cache_bits": 6}, 8, 40, None, True),
+    ({"palette": True}, 12, 9, 2, False),     # 8 px / green byte
+    ({"palette": True}, 12, 9, 4, False),     # 4 px / byte
+    ({"palette": True}, 12, 9, 13, False),    # 2 px / byte
+    ({"palette": True}, 12, 9, 200, False),   # unpacked
+    ({"palette": True}, 7, 8, 5, False),      # width % pack == 0
+    ({"color_elt": (34, -20, 77), "color_bits": 3}, 17, 23, None, False),
+    ({"color_elt": (-128, 127, -1)}, 6, 40, None, False),
+    ({"meta_bits": 3}, 17, 23, None, False),
+    ({"meta_bits": 2, "cache_bits": 5, "use_lz77": True}, 20, 18, None,
+     True),
+    ({"subtract_green": True, "color_elt": (5, 6, 7),
+      "predictor_mode": 11}, 17, 23, None, False),
+])
+def test_roundtrip_paths(kwargs, h, w, ncolors, runs):
+    img = _img(h, w, 4, ncolors=ncolors, runs=runs)
+    out = decode_webp(encode_vp8l(img, **kwargs))
+    assert np.array_equal(out, _expect(img))
+
+
+@pytest.mark.parametrize("mode", range(14))
+def test_roundtrip_all_predictor_modes(mode):
+    img = _img(13, 19, 4, rng=np.random.default_rng(mode))
+    out = decode_webp(encode_vp8l(img, predictor_mode=mode,
+                                  predictor_bits=3))
+    assert np.array_equal(out, _expect(img))
+
+
+def test_roundtrip_rgb_and_opaque_alpha():
+    rgb = _img(6, 5, 3)
+    assert np.array_equal(decode_webp(encode_vp8l(rgb)), rgb)
+    rgba = _img(6, 5, 4).copy()
+    rgba[:, :, 3] = 255
+    assert np.array_equal(decode_webp(encode_vp8l(rgba)), rgba[:, :, :3])
+
+
+# ---------------------------------------------------------------------------
+# known-answer bitstreams, hand-assembled from RFC 9649
+
+
+class _W:
+    """Independent LSB-first bit writer (fresh, not the encoder's)."""
+
+    def __init__(self):
+        self.bits = []
+
+    def put(self, v, n):
+        for i in range(n):
+            self.bits.append((v >> i) & 1)
+
+    def put_msb(self, v, n):
+        """Prefix-code bits enter the stream MSB-first."""
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def bytes(self):
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for j, bit in enumerate(self.bits[i:i + 8]):
+                b |= bit << j
+            out.append(b)
+        return bytes(out)
+
+
+def _vp8l_chunk(w, h, body_bits):
+    hdr = (w - 1) | ((h - 1) << 14)
+    return bytes([0x2F]) + hdr.to_bytes(4, "little") + body_bits
+
+
+def _simple_single(bw, sym):
+    """Simple prefix code, one symbol (RFC 9649 §5.2.2)."""
+    bw.put(1, 1)           # simple
+    bw.put(0, 1)           # num_symbols - 1 = 0
+    bw.put(1, 1)           # first symbol is 8 bits
+    bw.put(sym, 8)
+
+
+def test_known_answer_literals():
+    """2x1 image, every channel a single-symbol (zero-bit) code."""
+    bw = _W()
+    bw.put(0, 1)                 # no transforms
+    bw.put(0, 1)                 # no color cache
+    bw.put(0, 1)                 # no meta-prefix image
+    _simple_single(bw, 0x34)     # green
+    _simple_single(bw, 0x12)     # red
+    _simple_single(bw, 0x56)     # blue
+    _simple_single(bw, 0xFF)     # alpha
+    _simple_single(bw, 0)        # distance
+    # both pixels decode with zero bits each
+    px = decode_vp8l(_vp8l_chunk(2, 1, bw.bytes()))
+    assert np.array_equal(px, np.array([[[0x12, 0x34, 0x56]] * 2],
+                                       np.uint8))
+
+
+def test_known_answer_lz77_distance_map():
+    """3x1 image: one literal, then a length-2 copy at 2D distance code
+    2 = offset (1, 0) = the left pixel → linear distance 1 (code 1 is
+    (0, 1), the pixel *above*).  The green code carries {0x34: literal
+    green, 257: length slot 1} via a hand-written code-length-coded
+    prefix code."""
+    bw = _W()
+    bw.put(0, 1)                 # no transforms
+    bw.put(0, 1)                 # no color cache
+    bw.put(0, 1)                 # no meta-prefix image
+
+    # green prefix code, code-length-coded (§5.2.3)
+    bw.put(0, 1)                 # not simple
+    bw.put(0, 4)                 # num_code_lengths = 4 + 0 → order 17,18,0,1
+    # 3-bit code lengths for the CL alphabet, in order (17, 18, 0, 1):
+    bw.put(0, 3)                 # 17: unused
+    bw.put(1, 3)                 # 18: length 1
+    bw.put(0, 3)                 # 0: unused
+    bw.put(1, 3)                 # 1: length 1
+    # canonical CL code: sym 1 → 0, sym 18 → 1
+    bw.put(1, 1)                 # use max_symbol
+    bw.put(0, 3)                 # length_nbits = 2 + 2*0 = 2
+    bw.put(3, 2)                 # max_symbol = 2 + 3 = 5 ops
+    bw.put_msb(1, 1)             # op1: CL 18 → skip 11 + extra
+    bw.put(41, 7)                #      skip 52 zeros (syms 0..0x33)
+    bw.put_msb(0, 1)             # op2: CL 1 → sym 0x34 has length 1
+    bw.put_msb(1, 1)             # op3: CL 18
+    bw.put(127, 7)               #      skip 138 (syms 0x35..)
+    bw.put_msb(1, 1)             # op4: CL 18
+    bw.put(55, 7)                #      skip 66 → next sym is 257
+    bw.put_msb(0, 1)             # op5: CL 1 → sym 257 has length 1
+    # canonical green code: 0x34 → 0, 257 → 1
+    _simple_single(bw, 0x12)     # red
+    _simple_single(bw, 0x56)     # blue
+    _simple_single(bw, 0xFF)     # alpha
+    _simple_single(bw, 1)        # distance: single symbol, slot 1
+    # pixel stream: literal, then copy
+    bw.put_msb(0, 1)             # green sym 0x34 → literal FF123456
+    bw.put_msb(1, 1)             # green sym 257 → length slot 1 → len 2
+    # distance symbol is zero-bit (single); slot 1 → dist_code 2
+    # dist_code 2 → map entry (1, 0) = left pixel → distance 1
+    px = decode_vp8l(_vp8l_chunk(3, 1, bw.bytes()))
+    assert np.array_equal(px, np.array([[[0x12, 0x34, 0x56]] * 3],
+                                       np.uint8))
+
+
+def test_known_answer_color_cache():
+    """2x1: literal, then the same pixel via the color cache.  Cache
+    index of FF123456 under the spec hash (0x1E35A7BD, >> 32-2)."""
+    px_val = 0xFF123456
+    cache_bits = 2
+    key = (0x1E35A7BD * px_val & 0xFFFFFFFF) >> (32 - cache_bits)
+    bw = _W()
+    bw.put(0, 1)                 # no transforms
+    bw.put(1, 1)                 # color cache present
+    bw.put(cache_bits, 4)
+    bw.put(0, 1)                 # no meta
+    # green alphabet now 256 + 24 + 4; symbols {0x34, 280 + key}
+    bw.put(0, 1)                 # not simple
+    bw.put(0, 4)                 # CL order 17, 18, 0, 1
+    bw.put(0, 3)
+    bw.put(1, 3)                 # 18 → len 1
+    bw.put(0, 3)
+    bw.put(1, 3)                 # 1 → len 1
+    bw.put(1, 1)                 # use max_symbol
+    bw.put(0, 3)
+    bw.put(3, 2)                 # 5 ops
+    bw.put_msb(1, 1)
+    bw.put(41, 7)                # skip 52
+    bw.put_msb(0, 1)             # sym 0x34 → len 1
+    bw.put_msb(1, 1)
+    bw.put(127, 7)               # skip 138 → at 191
+    bw.put_msb(1, 1)
+    bw.put((280 + key) - 191 - 11, 7)
+    bw.put_msb(0, 1)             # sym 280+key → len 1
+    _simple_single(bw, 0x12)
+    _simple_single(bw, 0x56)
+    _simple_single(bw, 0xFF)
+    _simple_single(bw, 0)
+    bw.put_msb(0, 1)             # literal
+    bw.put_msb(1, 1)             # cache hit
+    px = decode_vp8l(_vp8l_chunk(2, 1, bw.bytes()))
+    assert np.array_equal(px, np.array([[[0x12, 0x34, 0x56]] * 2],
+                                       np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# totality / fuzz
+
+
+def test_mutation_fuzz_total():
+    img = _img(12, 16, 4, rng=np.random.default_rng(5))
+    seeds = [encode_vp8l(img), encode_vp8l(img, subtract_green=True),
+             encode_vp8l(_img(12, 16, 4, ncolors=7), palette=True),
+             encode_vp8l(img, use_lz77=True, cache_bits=4)]
+    rng = np.random.default_rng(99)
+    for payload in seeds:
+        for _ in range(150):
+            buf = bytearray(payload)
+            for _ in range(rng.integers(1, 6)):
+                op = rng.integers(0, 3)
+                if op == 0:
+                    buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+                elif op == 1 and len(buf) > 12:
+                    del buf[rng.integers(12, len(buf)):]
+                else:
+                    at = rng.integers(0, len(buf))
+                    buf[at:at] = bytes(
+                        rng.integers(0, 256, 4, dtype=np.uint8))
+            try:
+                out = decode_webp(bytes(buf))
+                assert out.dtype == np.uint8 and out.ndim == 3
+            except (ValueError, NotImplementedError):
+                pass  # typed failure is the contract
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 24), st.integers(1, 24), st.booleans(),
+       st.integers(0, 6), st.randoms(use_true_random=False))
+def test_roundtrip_law(h, w, sg, cache, rnd):
+    rng = np.random.default_rng(rnd.getrandbits(32))
+    img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    out = decode_webp(encode_vp8l(img, subtract_green=sg,
+                                  cache_bits=cache))
+    assert np.array_equal(out, _expect(img))
+
+
+# ---------------------------------------------------------------------------
+# boundaries + Spark path
+
+
+def test_reference_lossy_fixtures_stay_boundary():
+    pat = "/root/reference/packages/test/fixtures/*webp*/body"
+    bodies = sorted(glob.glob(pat))
+    if not bodies:
+        pytest.skip("reference fixtures unavailable")
+    for p in bodies:
+        with open(p, "rb") as f:
+            data = f.read()
+        with pytest.raises(CodecUnavailable):
+            decode_webp(data)
+
+
+def test_decode_pixels_dispatches_webp():
+    img = _img(10, 14, 3)
+    out = decode_pixels(encode_vp8l(img), "webp")
+    assert np.array_equal(out, img)
+
+
+def test_spark_decode_media_vp8l(spark):
+    from pyspark.sql import Row
+    from unfurl_spark.functions.multimodal import (
+        decode_media,
+        extract_features,
+        resize_images,
+    )
+    img = _img(24, 32, 3)
+    vp8l = encode_vp8l(img)
+    lossy = b"RIFF" + b"\x00" * 4 + b"WEBPVP8 " + b"\x00" * 40
+    df = spark.createDataFrame([
+        Row(media_ref="l.webp", ctype="image/webp", payload=vp8l),
+        Row(media_ref="y.webp", ctype="image/webp", payload=lossy),
+    ])
+    got = {r["media_ref"]: r for r in decode_media(df).collect()}
+    assert got["l.webp"]["ok"] == "ok"
+    assert (got["l.webp"]["width"], got["l.webp"]["height"]) == (32, 24)
+    assert got["y.webp"]["ok"] == "codec:unavailable"
+    feats = {r["media_ref"]: r for r in extract_features(df).collect()}
+    assert feats["l.webp"]["ok"] == "ok"
+    assert feats["y.webp"]["ok"] == "codec:unavailable"
+    thumbs = {r["media_ref"]: r
+              for r in resize_images(df, 8, 8).collect()}
+    assert thumbs["l.webp"]["ok"] == "ok"

@@ -10,10 +10,11 @@ image/audio/video payloads at 100 TB.
 Spark-side plumbing (schemas, salt partitioning, Arrow batch shape,
 byte caps) is real and tested, and so is the pixel path for the
 formats the pure-stdlib codecs in ``codecs.py``/``jpegc.py`` cover:
-PNG, baseline JPEG, GIF, BMP, PPM images and PCM WAV audio decode to
-real pixels/samples, feed a real box-filter resize and real feature
-statistics.  Formats whose essence needs an out-of-container codec
-(WebP VP8, MP4/H.264, WebM, MP3) raise ``CodecUnavailable`` and fall
+PNG, JPEG (baseline + progressive), GIF, BMP, PPM, lossless WebP
+(VP8L) images and PCM WAV audio decode to real pixels/samples, feed a
+real box-filter resize and real feature statistics.  Formats whose
+essence needs an out-of-container codec (WebP VP8 lossy, MP4/H.264,
+WebM, MP3) raise ``CodecUnavailable`` and fall
 back to a deterministic payload-hash fake — the honest boundary in
 this environment, visible per-row in the ``ok`` lineage column.
 
@@ -43,6 +44,7 @@ from .codecs import (
 )
 from .jpegc import decode_jpeg
 from .media import _png_info, _sniff, _webp_info, mkv_metadata, mp4_metadata
+from .vp8l import decode_webp
 
 # cap payload bytes entering Python — headers live in the prefix (the
 # reference caps EXIF reads at 131072, unfurl-exif/src/index.ts:21)
@@ -63,15 +65,17 @@ _DECODERS = {
     "gif": decode_gif,
     "bmp": decode_bmp,
     "ppm": decode_ppm,
+    "webp": decode_webp,  # VP8L real; VP8 lossy → CodecUnavailable
 }
 
 
 def decode_pixels(payload: bytes, container: str):
     """Decode a payload to pixels (images → HxWxC uint8 ndarray) or
     samples (wav → (rate, int16[n, ch])).  Pure stdlib+numpy codecs;
-    containers needing an external codec (WebP VP8, MP4/H.264, WebM,
-    MP3/AAC) raise ``CodecUnavailable`` — the explicit boundary a real
-    deployment closes by plugging Pillow/ffmpeg into ``_DECODERS``."""
+    containers needing an external codec (WebP VP8 lossy, MP4/H.264,
+    WebM, MP3/AAC) raise ``CodecUnavailable`` — the explicit boundary a
+    real deployment closes by plugging Pillow/ffmpeg into
+    ``_DECODERS``.  WebP lossless (VP8L) decodes for real."""
     dec = _DECODERS.get(container)
     if dec is not None:
         return dec(payload)
