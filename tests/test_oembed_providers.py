@@ -113,3 +113,40 @@ def test_extended_registry_long_tail():
     assert discovery_href(
         "https://www.youtube.com/watch?v=dQw4w9WgXcQ").startswith(
         "https://www.youtube.com/oembed?format=json&url=")
+
+
+def test_host_gate_equivalent_to_full_scan():
+    """The netloc pre-gate must be a pure accelerator: for URLs derived
+    from every registry glob (matching, mutated-host, path-mangled,
+    schemeless, userinfo/port variants) the gated first-match result is
+    byte-identical to scanning all compiled matchers in order."""
+    from unfurl_spark.functions import oembed_providers as P
+
+    def full_scan(url):
+        for m in P._MATCHERS:
+            if m.pattern.match(url):
+                return m.prefix + P.quote(url, safe=P._ENC_SAFE)
+        return None
+
+    urls = []
+    for prov in P.DEFAULT_REGISTRY:
+        for ep in prov.get("endpoints", []):
+            for glob in ep.get("schemes", []):
+                concrete = glob.replace("*", "abc123")
+                urls += [
+                    concrete,
+                    concrete + "/tail?x=1#f",
+                    glob.replace("*", ""),
+                    concrete.replace("://", "://evil.com@", 1),
+                    concrete.replace("://", "://", 1).replace(
+                        "/", ":8443/", 1) if "/" in concrete else concrete,
+                    "HTTPS://" + concrete.split("://", 1)[-1],
+                    concrete.split("://", 1)[-1],        # schemeless
+                    "https://unrelated.example/" + concrete,
+                ]
+    urls += ["", "not a url", "https://", "https://[::1]/x",
+             "ftp://instagram.com/p/x", "https://com/p/x",
+             "https://instagram.com.evil.net/p/abc"]
+    assert len(urls) > 1000
+    for url in urls:
+        assert P.discovery_href(url) == full_scan(url), url

@@ -450,7 +450,8 @@ class MetaHandler(HTMLParser):
             for frame in self._stack:
                 if frame.capture_text and frame.text_parts is not None:
                     frame.text_parts.append(data)
-        if self._content and not self._c_skip and data.strip():
+        if self._content and not self._c_skip and data \
+                and not data.isspace():
             # script/style run through _Frame c_skip except inline <script>
             # without jsonld type — those still open a frame in _C_SKIP
             if self._c_parts is None:

@@ -225,36 +225,69 @@ def _compile_scheme(glob: str) -> re.Pattern:
 
 
 class _Compiled:
-    __slots__ = ("pattern", "prefix")
+    __slots__ = ("pattern", "prefix", "order")
 
-    def __init__(self, pattern: re.Pattern, prefix: str):
+    def __init__(self, pattern: re.Pattern, prefix: str, order: int):
         self.pattern = pattern
         self.prefix = prefix
+        self.order = order
 
 
 _MATCHERS: list[_Compiled] = []
+_BUCKETS: dict[str, list[_Compiled]] = {}
+_ALWAYS: list[_Compiled] = []
 
 
-def _build(registry: list[dict]) -> list[_Compiled]:
-    out = []
+def _gate_key(glob: str) -> str | None:
+    """Host-suffix bucket key for a scheme glob, or None when the glob
+    must be tried against every URL (no scheme, userinfo/port/IPv6
+    authority, or a fully-wildcard host).  The key is the last two
+    dot-labels of the authority's literal tail after its final ``*`` —
+    a URL whose host doesn't end in that tail can never match the
+    compiled regex, so bucketing on it is a strict superset filter."""
+    m = re.match(r"[a-z][a-z0-9+.-]*://", glob)
+    if not m:
+        return None
+    rest = glob[len(m.group(0)):]
+    slash = rest.find("/")
+    auth = rest if slash == -1 else rest[:slash]
+    if not auth or ":" in auth or "@" in auth or "[" in auth:
+        return None
+    literal_tail = auth.rsplit("*", 1)[-1].lstrip(".").lower()
+    labels = [p for p in literal_tail.split(".") if p]
+    if not labels:
+        return None
+    return ".".join(labels[-2:])
+
+
+def _rebuild(registry: list[dict]):
+    """Compile the registry into the ordered matcher list plus the
+    host-suffix gate (buckets + always-checked tail)."""
+    global _MATCHERS, _BUCKETS, _ALWAYS
+    _MATCHERS = []
+    _BUCKETS = {}
+    _ALWAYS = []
     for provider in registry:
         for ep in provider.get("endpoints", []):
             prefix = ep.get("url", "")
             if not prefix or "url=" not in prefix:
-                # registry dumps list endpoint bases without the query —
-                # normalize to a discovery prefix
                 sep = "&" if "?" in prefix else "?"
                 prefix = f"{prefix}{sep}format=json&url="
             for scheme in ep.get("schemes", []):
-                out.append(_Compiled(_compile_scheme(scheme), prefix))
-    return out
+                c = _Compiled(_compile_scheme(scheme), prefix,
+                              len(_MATCHERS))
+                _MATCHERS.append(c)
+                key = _gate_key(scheme)
+                if key is None:
+                    _ALWAYS.append(c)
+                else:
+                    _BUCKETS.setdefault(key, []).append(c)
 
 
 def load_registry(registry: list[dict]) -> int:
     """Replace the bundled subset with a full providers.json dump (the
     parsed JSON list).  Returns the number of compiled schemes."""
-    global _MATCHERS
-    _MATCHERS = _build(registry)
+    _rebuild(registry)
     return len(_MATCHERS)
 
 
@@ -263,15 +296,46 @@ def load_registry(registry: list[dict]) -> int:
 from .oembed_registry_extra import EXTRA_PROVIDERS  # noqa: E402
 
 DEFAULT_REGISTRY = PROVIDERS + EXTRA_PROVIDERS
-_MATCHERS = _build(DEFAULT_REGISTRY)
+_rebuild(DEFAULT_REGISTRY)
+
+_URL_HOST_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)")
+
+
+def _candidates(url: str) -> list[_Compiled]:
+    """Gate: matchers whose host-suffix bucket the URL's host hits,
+    plus the always-checked tail, in original registry order.  Strict
+    superset of the matchers that can match, so first-match-wins
+    semantics are byte-identical to the full scan (asserted by a fuzz
+    test over the whole registry)."""
+    m = _URL_HOST_RE.match(url)
+    if not m:
+        return _ALWAYS
+    host = m.group(1).lower()
+    if "@" in host:
+        host = host.rsplit("@", 1)[1]
+    if host.endswith("]") or "]" not in host:
+        # strip a :port (never the tail of an IPv6 literal)
+        i = host.rfind(":")
+        if i > host.rfind("]"):
+            host = host[:i]
+    labels = host.split(".")
+    hit2 = _BUCKETS.get(".".join(labels[-2:])) if len(labels) >= 2 else None
+    hit1 = _BUCKETS.get(labels[-1]) if labels else None
+    if not hit2 and not hit1:
+        return _ALWAYS
+    cands = _ALWAYS + (hit2 or []) + (hit1 or [])
+    cands.sort(key=lambda c: c.order)
+    return cands
 
 
 def discovery_href(url: str) -> str | None:
     """Endpoint discovery href for a page URL, or None if no provider
     claims it.  First matching scheme wins; the page URL rides in
     encodeURIComponent-encoded (JS semantics — the reference's fixture
-    cache keys use that encoding)."""
-    for m in _MATCHERS:
+    cache keys use that encoding).  A host-suffix gate prunes the
+    registry scan from all ~250 schemes to the few claiming the URL's
+    registrable domain."""
+    for m in _candidates(url):
         if m.pattern.match(url):
             return m.prefix + quote(url, safe=_ENC_SAFE)
     return None

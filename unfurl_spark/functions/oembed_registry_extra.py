@@ -277,4 +277,118 @@ EXTRA_PROVIDERS: list[dict] = [
     {"provider_name": "Uppy (Transloadit demos)", "endpoints": [{
         "schemes": ["https://uppy.io/examples/*"],
         "url": "https://uppy.io/examples/oembed"}]},
+    # third batch of public-registry entries (entries where the public
+    # endpoint is well established; the verbatim dump still drops in via
+    # load_registry at deploy time)
+    {"provider_name": "Facebook (post)", "endpoints": [{
+        "schemes": ["https://www.facebook.com/*/posts/*",
+                    "https://www.facebook.com/*/photos/*",
+                    "https://www.facebook.com/photo.php*",
+                    "https://www.facebook.com/permalink.php*"],
+        "url": "https://graph.facebook.com/v16.0/oembed_post?format=json&url="}]},
+    {"provider_name": "Facebook (video)", "endpoints": [{
+        "schemes": ["https://www.facebook.com/*/videos/*",
+                    "https://www.facebook.com/video.php*",
+                    "https://www.facebook.com/watch/*"],
+        "url": "https://graph.facebook.com/v16.0/oembed_video?format=json&url="}]},
+    {"provider_name": "Padlet", "endpoints": [{
+        "schemes": ["https://padlet.com/*"],
+        "url": "https://padlet.com/oembed/"}]},
+    {"provider_name": "Poll Everywhere", "endpoints": [{
+        "schemes": ["http://www.polleverywhere.com/polls/*",
+                    "http://www.polleverywhere.com/multiple_choice_polls/*",
+                    "http://www.polleverywhere.com/free_text_polls/*"],
+        "url": "https://www.polleverywhere.com/services/oembed/"}]},
+    {"provider_name": "RadioPublic", "endpoints": [{
+        "schemes": ["https://play.radiopublic.com/*",
+                    "https://radiopublic.com/*",
+                    "https://www.radiopublic.com/*"],
+        "url": "https://oembed.radiopublic.com/oembed"}]},
+    {"provider_name": "LearningApps.org", "endpoints": [{
+        "schemes": ["http://learningapps.org/*",
+                    "https://learningapps.org/*"],
+        "url": "https://learningapps.org/oembed.php"}]},
+    {"provider_name": "DocDroid", "endpoints": [{
+        "schemes": ["https://*.docdroid.net/*",
+                    "https://docdro.id/*"],
+        "url": "https://www.docdroid.net/api/oembed"}]},
+    {"provider_name": "DTube", "endpoints": [{
+        "schemes": ["https://d.tube/v/*"],
+        "url": "https://api.d.tube/oembed"}]},
+    {"provider_name": "Overflow", "endpoints": [{
+        "schemes": ["https://overflow.io/s/*",
+                    "https://overflow.io/embed/*"],
+        "url": "https://overflow.io/services/oembed"}]},
+    {"provider_name": "Chirbit.com", "endpoints": [{
+        "schemes": ["http://chirb.it/*"],
+        "url": "https://chirb.it/oembed.json"}]},
+    {"provider_name": "Stanford Digital Repository", "endpoints": [{
+        "schemes": ["https://purl.stanford.edu/*"],
+        "url": "https://purl.stanford.edu/embed.json"}]},
+    {"provider_name": "Screencast.com", "endpoints": [{
+        "schemes": ["http://www.screencast.com/*",
+                    "https://www.screencast.com/*"],
+        "url": "https://api.screencast.com/external/oembed"}]},
+    {"provider_name": "Slides", "endpoints": [{
+        "schemes": ["https://slides.com/*",
+                    "https://slides.com/*/*"],
+        "url": "https://slides.com/services/oembed"}]},
+    {"provider_name": "RunKit", "endpoints": [{
+        "schemes": ["https://runkit.com/*"],
+        "url": "https://embed.runkit.com/oembed"}]},
+    {"provider_name": "Ceros", "endpoints": [{
+        "schemes": ["https://view.ceros.com/*"],
+        "url": "https://view.ceros.com/oembed"}]},
+    {"provider_name": "nanoo.tv", "endpoints": [{
+        "schemes": ["https://*.nanoo.tv/link/*",
+                    "https://nanoo.tv/link/*",
+                    "https://media.zhdk.ch/signatur/*"],
+        "url": "https://www.nanoo.tv/services/oembed"}]},
+    {"provider_name": "Nasjonalbiblioteket", "endpoints": [{
+        "schemes": ["https://www.nb.no/items/*"],
+        "url": "https://api.nb.no/catalog/v1/oembed"}]},
+    {"provider_name": "Whimsical", "endpoints": [{
+        "schemes": ["https://whimsical.com/*"],
+        "url": "https://whimsical.com/api/oembed"}]},
+    {"provider_name": "Wordwall", "endpoints": [{
+        "schemes": ["https://wordwall.net/resource/*"],
+        "url": "https://wordwall.net/api/oembed"}]},
+    {"provider_name": "Toornament", "endpoints": [{
+        "schemes": ["https://www.toornament.com/tournaments/*/information",
+                    "https://www.toornament.com/tournaments/*/registration/",
+                    "https://www.toornament.com/tournaments/*/matches/schedule",
+                    "https://www.toornament.com/tournaments/*/stages/*/"],
+        "url": "https://widget.toornament.com/oembed"}]},
+    {"provider_name": "Portfolium", "endpoints": [{
+        "schemes": ["https://portfolium.com/entry/*"],
+        "url": "https://api.portfolium.com/oembed"}]},
+    {"provider_name": "Moby Picture", "endpoints": [{
+        "schemes": ["http://www.mobypicture.com/user/*/view/*",
+                    "http://moby.to/*"],
+        "url": "http://api.mobypicture.com/oEmbed"}]},
+    {"provider_name": "Music Box Maniacs", "endpoints": [{
+        "schemes": ["https://musicboxmaniacs.com/explore/melody/*"],
+        "url": "https://musicboxmaniacs.com/explore/embed/"}]},
+    {"provider_name": "EthFiddle", "endpoints": [{
+        "schemes": ["https://ethfiddle.com/*"],
+        "url": "https://ethfiddle.com/services/oembed/"}]},
+    {"provider_name": "Waveform (Simplecast player)", "endpoints": [{
+        "schemes": ["https://player.simplecast.com/*"],
+        "url": "https://api.simplecast.com/oembed"}]},
+    {"provider_name": "GT Channel", "endpoints": [{
+        "schemes": ["https://gtchannel.com/watch/*"],
+        "url": "https://api.luminery.com/oembed"}]},
+    {"provider_name": "Kooapp", "endpoints": [{
+        "schemes": ["https://*.kooapp.com/koo/*"],
+        "url": "https://embed.kooapp.com/services/oembed"}]},
+    {"provider_name": "Minesweeper.today", "endpoints": [{
+        "schemes": ["https://minesweeper.today/*"],
+        "url": "https://minesweeper.today/api/oembed"}]},
+    {"provider_name": "Jovian", "endpoints": [{
+        "schemes": ["https://jovian.ai/viewer*",
+                    "https://jovian.com/viewer*"],
+        "url": "https://api.jovian.ai/oembed.json"}]},
+    {"provider_name": "Qualifio", "endpoints": [{
+        "schemes": ["https://qualifio.com/*"],
+        "url": "https://oembed.qualifio.com/"}]},
 ]
