@@ -102,6 +102,50 @@ CHECKS = {
         ("keeper application is an anti-join",
          lambda p: "LeftAnti" in _final_plan(p)),
     ],
+    "tpch_q4_priority_semi": [
+        ("EXISTS planned as semi join",
+         lambda p: "LeftSemi" in _final_plan(p)),
+        ("orderdate range pushed", lambda p: "o_orderdate" in p.split(
+            "PushedFilters", 1)[-1] if "PushedFilters" in p else False),
+    ],
+    "tpch_q7_volume": [
+        ("nation dims broadcast",
+         lambda p: _final_plan(p).count("BroadcastHashJoin") >= 2),
+        ("map-side partial agg", lambda p: p.count("HashAggregate") >= 2),
+    ],
+    "tpch_q14_promo": [
+        ("part join broadcast", lambda p: "BroadcastHashJoin" in p),
+        ("shipdate range pushed", lambda p: "l_shipdate" in p.split(
+            "PushedFilters", 1)[-1][:600] if "PushedFilters" in p
+         else False),
+    ],
+    "tpch_q15_top_supplier": [
+        ("scalar max via subquery, no cartesian",
+         lambda p: "Subquery" in p or "ReusedExchange" in p
+         or "Join" in _final_plan(p)),
+    ],
+    "tpch_q16_supplier_cnt": [
+        ("NOT IN planned as null-aware anti join",
+         lambda p: "LeftAnti" in _final_plan(p)),
+        ("size-list filter pushed", lambda p: "p_size" in p.split(
+            "PushedFilters", 1)[-1] if "PushedFilters" in p else False),
+    ],
+    "tpch_q18_large_orders": [
+        ("IN planned as semi join", lambda p: "LeftSemi" in
+         _final_plan(p)),
+        ("top-k not full sort", lambda p: "TakeOrderedAndProject" in p),
+    ],
+    "tpch_q19_brackets": [
+        ("part join broadcast", lambda p: "BroadcastHashJoin" in p),
+        ("disjunct prefilter reaches lineitem scan",
+         lambda p: "l_quantity" in p.split("PushedFilters", 1)[-1]
+         if "PushedFilters" in p else False),
+    ],
+    "tpch_q22_idle_rich": [
+        ("NOT EXISTS planned as anti join",
+         lambda p: "LeftAnti" in _final_plan(p)),
+        ("map-side partial agg", lambda p: p.count("HashAggregate") >= 2),
+    ],
 }
 
 PIPELINE_CHECKS = [

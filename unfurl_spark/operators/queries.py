@@ -215,6 +215,134 @@ ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """)
 
+# relational competence: TPC-H Q4 form — EXISTS → left-semi join.
+# (The spec's l_commitdate/l_receiptdate aren't in the reduced schema;
+# the semi-join predicate is ship-lag > 60 days instead.)
+_q("tpch_q4_priority_semi", """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE CAST(o.o_orderdate AS DATE) >= CAST('1996-01-01' AS DATE)
+  AND CAST(o.o_orderdate AS DATE) < CAST('1997-01-01' AS DATE)
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND CAST(l.l_shipdate AS DATE)
+          > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""")
+
+# relational competence: TPC-H Q7 form — nation-pair volume shipping
+# (OR of symmetric pairs; two broadcastable joins against nation)
+_q("tpch_q7_volume", """
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(CAST(l.l_shipdate AS DATE)) AS BIGINT) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""")
+
+# relational competence: TPC-H Q14 form — conditional agg over a
+# broadcastable part join (promo revenue share)
+_q("tpch_q14_promo", """
+SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                         THEN l.l_extendedprice * (1 - l.l_discount)
+                         ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+         AS promo_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE CAST(l.l_shipdate AS DATE) >= CAST('1996-09-01' AS DATE)
+  AND CAST(l.l_shipdate AS DATE) < CAST('1996-10-01' AS DATE)
+""")
+
+# relational competence: TPC-H Q15 form — scalar-subquery max over a CTE
+_q("tpch_q15_top_supplier", """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2)
+           AS total_revenue
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= CAST('1996-01-01' AS DATE)
+    AND CAST(l_shipdate AS DATE) < CAST('1996-04-01' AS DATE)
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+""")
+
+# relational competence: TPC-H Q16 form — distinct-count + NOT IN
+# anti-join (lineitem stands in for partsupp in the reduced schema)
+_q("tpch_q16_supplier_cnt", """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_type NOT LIKE 'MEDIUM%'
+  AND p.p_size IN (1, 4, 7, 10, 15, 23, 45, 49)
+  AND l.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""")
+
+# relational competence: TPC-H Q18 form — IN over a HAVING subquery
+_q("tpch_q18_large_orders", """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 20
+""")
+
+# relational competence: TPC-H Q19 form — OR-of-AND bracket predicates
+# across a broadcastable join (disjunct pushdown exercise)
+_q("tpch_q19_brackets", """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#10' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+""")
+
+# relational competence: TPC-H Q22 form — scalar-avg filter + NOT EXISTS
+# anti-join (every synthetic customer has SOME order, so the anti-join
+# is against recent orders; cntrycode stands in as nationkey)
+_q("tpch_q22_idle_rich", """
+SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c.c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                     WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND CAST(o.o_orderdate AS DATE) >= CAST('2000-01-01' AS DATE))
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+""")
+
 # grouped top-k per group (window rank) — dedup family's per-key keeper
 _q("topk_per_group", """
 SELECT lang, doc_id, n_chars
