@@ -117,6 +117,16 @@ class _Frame:
         self.rdfa_prev_vocab = _UNSET        # vocab to restore on close
 
 
+# Boring tags — no live <title>, no RDFa/microdata/prefix attributes —
+# never mutate their frame after open: every _Frame field is then a pure
+# function of the tag name, so one immutable instance per tag is shared
+# across the stack, the document, and all handler instances (~97k frame
+# allocations per 4k docs profiled; read-only after construction, and
+# CPython dict get/set are GIL-atomic).  The close-time skip/boiler/
+# anchor counters live on the handler, not the frame.
+_SHARED_FRAMES: dict = {}
+
+
 # content-block segmentation sets (shared with functions/content.py — the
 # body_text strip runs in the SAME parse pass as the metadata harvest)
 _C_BLOCK = {
@@ -128,6 +138,18 @@ _C_BLOCK_END = _C_BLOCK | {"body", "html"}
 _C_SKIP = {"script", "style", "noscript", "template", "svg", "iframe",
            "object", "option", "select", "textarea", "head"}
 _C_BOILER = {"nav", "header", "footer", "aside", "form", "menu"}
+
+
+def _shared_frame(tag: str) -> _Frame:
+    f = _SHARED_FRAMES.get(tag)
+    if f is None:
+        f = _Frame(tag)
+        f.c_skip = tag in _C_SKIP
+        f.c_boiler = tag in _C_BOILER
+        f.c_anchor = tag == "a"
+        if len(_SHARED_FRAMES) < 4096:  # hostile tag minting: stop caching
+            _SHARED_FRAMES[tag] = f
+    return f
 
 
 class MetaHandler(HTMLParser):
@@ -233,9 +255,15 @@ class MetaHandler(HTMLParser):
             for k, v in attrs:
                 if k not in a:
                     a[k] = v if v is not None else ""
+            # attributes that can mutate the frame at open (RDFa /
+            # microdata / prefix) force a private _Frame instance
+            special = ("property" in a or "typeof" in a or "vocab" in a
+                       or "itemscope" in a or "itemprop" in a
+                       or "prefix" in a)
         else:
             a = self._EMPTY_ATTRS
-        if "prefix" in a:  # RDFa 1.1 prefix declarations
+            special = False
+        if special and "prefix" in a:  # RDFa 1.1 prefix declarations
             toks = _WS.split(a["prefix"].strip())
             for i in range(0, len(toks) - 1, 2):
                 if toks[i].endswith(":"):
@@ -243,20 +271,26 @@ class MetaHandler(HTMLParser):
 
         frame = None
         if tag not in _VOID:
-            frame = _Frame(tag)
+            if special or (tag == "title" and not self._title_done):
+                frame = _Frame(tag)
+                if self._content:
+                    frame.c_skip = tag in _C_SKIP
+                    frame.c_boiler = tag in _C_BOILER
+                    frame.c_anchor = tag == "a"
+            else:
+                frame = _shared_frame(tag)
             self._stack.append(frame)
 
         if self._content:
-            if tag in _C_SKIP and frame is not None:
-                self._c_skip += 1
-                frame.c_skip = True
-            if tag in _C_BOILER and frame is not None:
-                self._c_boiler_depth += 1
-                frame.c_boiler = True
-            if tag == "a":
+            if frame is not None:
+                if frame.c_skip:
+                    self._c_skip += 1
+                if frame.c_boiler:
+                    self._c_boiler_depth += 1
+                if frame.c_anchor:
+                    self._c_anchor += 1
+            elif tag == "a":  # (void-tag guard kept for parity)
                 self._c_anchor += 1
-                if frame is not None:
-                    frame.c_anchor = True
             if tag in _C_BLOCK:
                 self._c_flush()
 

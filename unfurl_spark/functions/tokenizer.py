@@ -21,6 +21,7 @@ the driven handler (htmlmeta.MetaHandler) does not override them.
 from __future__ import annotations
 
 import re
+import sys
 from html import unescape as _unescape
 from html.parser import (
     attrfind_tolerant,
@@ -64,6 +65,22 @@ _FAST_TAG = re.compile(
 _FAST_ATTR = re.compile(r'([a-zA-Z][-a-zA-Z0-9_:.]*)="([^"]*)"')
 _SIMPLE_END = re.compile(r"</([a-zA-Z][a-zA-Z0-9]*)>")
 
+# tag / attribute names come from a tiny vocabulary, but str.lower()
+# allocates a fresh string every call (~600k allocations per 4k docs
+# profiled) — memoize raw → interned-lowercase.  Bounded: a hostile
+# document minting unlimited distinct names flushes the cache instead
+# of growing it.
+_LC_CACHE: dict[str, str] = {}
+
+
+def _lc(s: str) -> str:
+    v = _LC_CACHE.get(s)
+    if v is None:
+        if len(_LC_CACHE) >= 4096:
+            _LC_CACHE.clear()
+        v = _LC_CACHE[s] = sys.intern(s.lower())
+    return v
+
 
 def _starttag(h, rawdata: str, i: int, n: int):
     """parse_starttag + check_for_whole_start_tag (end-of-input → -1)."""
@@ -87,7 +104,7 @@ def _starttag(h, rawdata: str, i: int, n: int):
     attrs = []
     m = tagfind_tolerant.match(rawdata, i + 1)
     k = m.end()
-    tag = m.group(1).lower()
+    tag = _lc(m.group(1))
     while k < endpos:
         am = attrfind_tolerant.match(rawdata, k)
         if not am:
@@ -100,7 +117,7 @@ def _starttag(h, rawdata: str, i: int, n: int):
             attrvalue = attrvalue[1:-1]
         if attrvalue and "&" in attrvalue:
             attrvalue = _unescape(attrvalue)
-        attrs.append((attrname.lower(), attrvalue))
+        attrs.append((_lc(attrname), attrvalue))
         k = am.end()
 
     end = rawdata[k:endpos].strip()
@@ -133,11 +150,11 @@ def _endtag(h, rawdata: str, i: int, cdata_elem):
                 return i + 3, cdata_elem
             pos = rawdata.find(">", i + 2)  # bogus comment, no callback
             return (pos + 1 if pos != -1 else -1), cdata_elem
-        tagname = nm.group(1).lower()
+        tagname = _lc(nm.group(1))
         gtpos = rawdata.find(">", nm.end())
         h.handle_endtag(tagname)
         return gtpos + 1, cdata_elem
-    elem = m2.group(1).lower()
+    elem = _lc(m2.group(1))
     if cdata_elem is not None and elem != cdata_elem:
         h.handle_data(rawdata[i:gtpos])
         return gtpos, cdata_elem
@@ -205,9 +222,9 @@ def drive(h, rawdata: str) -> None:
         if ("a" <= c <= "z") or ("A" <= c <= "Z"):
             m = _FAST_TAG.match(rawdata, i)
             if m:
-                tag = m.group(1).lower()
+                tag = _lc(m.group(1))
                 astr = m.group(2)
-                attrs = ([(an.lower(), av)
+                attrs = ([(_lc(an), av)
                           for an, av in _FAST_ATTR.findall(astr)]
                          if astr else ())
                 if m.group(3):
@@ -225,7 +242,7 @@ def drive(h, rawdata: str) -> None:
             if cdata_elem is None:
                 m = _SIMPLE_END.match(rawdata, i)
                 if m:
-                    h.handle_endtag(m.group(1).lower())
+                    h.handle_endtag(_lc(m.group(1)))
                     i = m.end()
                     continue
             k, cdata_elem = _endtag(h, rawdata, i, cdata_elem)
