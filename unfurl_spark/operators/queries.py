@@ -1419,6 +1419,113 @@ GROUP BY doc_id
 _q("text_repetition_ratio", _MINHASH_CTE + _REP_BODY,
    _MINHASH_CTE_DUCK + _REP_BODY)
 
+# Gopher quality rules (Rae et al. 2021 "Scaling Language Models", table A1
+# subset): word-count bounds, mean-word-length bounds, alphabetic-word
+# fraction, and the ≥2-stop-words rule.  Pure per-row projection — no
+# shuffle at all, safe at any corpus size.
+_q("text_gopher_quality", """
+WITH w AS (SELECT doc_id, text, split(text, ' ') AS words FROM documents)
+SELECT doc_id,
+       CAST(size(words) AS BIGINT) AS n_words,
+       round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / size(words), 4) AS mean_word_len,
+       round(CAST(size(filter(words, x -> x rlike '^[a-z]+$')) AS DOUBLE)
+             / size(words), 4) AS alpha_word_frac,
+       CAST(size(array_intersect(words,
+            array('the','be','to','of','and','that','have','with','a','in')))
+            AS BIGINT) AS n_stop_hits,
+       CAST(size(words) BETWEEN 50 AND 100000
+            AND CAST(length(replace(text, ' ', '')) AS DOUBLE) / size(words)
+                BETWEEN 3 AND 10
+            AND size(filter(words, x -> x rlike '^[a-z]+$'))
+                >= 0.8 * size(words)
+            AND size(array_intersect(words,
+                array('the','be','to','of','and','that','have','with','a',
+                      'in'))) >= 2
+            AS BOOLEAN) AS gopher_pass
+FROM w
+""", """
+WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words
+           FROM documents)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_words,
+       round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(words), 4) AS mean_word_len,
+       round(CAST(len(list_filter(words,
+                x -> regexp_full_match(x, '[a-z]+'))) AS DOUBLE)
+             / len(words), 4) AS alpha_word_frac,
+       CAST(len(list_intersect(words,
+            ['the','be','to','of','and','that','have','with','a','in']))
+            AS BIGINT) AS n_stop_hits,
+       CAST(len(words) BETWEEN 50 AND 100000
+            AND CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(words)
+                BETWEEN 3 AND 10
+            AND len(list_filter(words, x -> regexp_full_match(x, '[a-z]+')))
+                >= 0.8 * len(words)
+            AND len(list_intersect(words,
+                ['the','be','to','of','and','that','have','with','a','in']))
+                >= 2
+            AS BOOLEAN) AS gopher_pass
+FROM w
+""")
+
+# Exact substring-chunk dedup (Lee et al. 2022 "Deduplicating Training Data
+# Makes Language Models Better", §exact-substring, at fixed 8-word chunk
+# granularity): explode docs into consecutive chunks, find chunks shared by
+# >1 document, report per-doc duplicated-chunk fraction.  Two shuffles
+# (chunk group-by + chunk equi-join) — no pairwise blow-up; the join key is
+# the chunk text itself, so candidate space is bounded by corpus chunk count.
+_CHUNK_BODY = """
+, dup AS (
+  SELECT chunk FROM chunks GROUP BY chunk HAVING count(DISTINCT doc_id) > 1
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(d.chunk) AS BIGINT) AS n_dup_chunks,
+       round(CAST(count(d.chunk) AS DOUBLE) / count(*), 4) AS dup_frac
+FROM chunks c LEFT JOIN dup d ON c.chunk = d.chunk
+GROUP BY c.doc_id
+"""
+_q("dedup_exact_chunks", """
+WITH wd AS (SELECT doc_id, split(text, ' ') AS w FROM documents
+            WHERE size(split(text, ' ')) >= 8),
+chunks AS (
+  SELECT doc_id,
+         explode(transform(sequence(1, CAST(size(w) / 8 AS INT)),
+                 i -> array_join(slice(w, (i - 1) * 8 + 1, 8), ' ')))
+           AS chunk
+  FROM wd)
+""" + _CHUNK_BODY, """
+WITH wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE len(string_split(text, ' ')) >= 8),
+ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) // 8)) AS i
+       FROM wd),
+chunks AS (
+  SELECT doc_id,
+         array_to_string(list_slice(w, (i - 1) * 8 + 1, i * 8), ' ')
+           AS chunk
+  FROM ix)
+""" + _CHUNK_BODY)
+
+# Unigram Shannon entropy per document — a standard quality-filter feature
+# (low-entropy docs are boilerplate/spam).  Two partial-agg shuffles on
+# (doc_id, word) then doc_id; map-side combine keeps both narrow.
+_ENTROPY_BODY = """
+, cnt AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word),
+tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY doc_id)
+SELECT c.doc_id,
+       round(sum(-(CAST(c.c AS DOUBLE) / t.n)
+                 * log2(CAST(c.c AS DOUBLE) / t.n)), 4) AS unigram_entropy,
+       CAST(t.n AS BIGINT) AS n_tokens
+FROM cnt c JOIN tot t ON c.doc_id = t.doc_id
+GROUP BY c.doc_id, t.n
+"""
+_q("text_unigram_entropy",
+   "WITH tok AS (SELECT doc_id, t.word AS word FROM documents "
+   "LATERAL VIEW explode(split(text, ' ')) t AS word)" + _ENTROPY_BODY,
+   "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+   "FROM documents)" + _ENTROPY_BODY)
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible: the fused extraction pipeline itself (rows-only check)
 
