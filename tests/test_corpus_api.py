@@ -63,3 +63,57 @@ def test_quality_features_no_shuffle(spark):
     assert "Exchange" not in plan
     row = qf.filter(F.col("doc_id") == qf.first().doc_id).first()
     assert row.n_chars_m > 0 and 0 <= row.punct_ratio <= 1
+
+
+def test_pii_scrub(spark):
+    rows = [
+        (1, "contact me at bob.smith+x@example.co.uk today"),
+        (2, "server at 192.168.0.1 and 10.0.0.255 rebooted"),
+        (3, "call +1 (415) 555-0123 or 020 7946 0958 now"),
+        (4, "no pii here just words"),
+        (5, "mixed a@b.io from 8.8.8.8 phone 415-555-0100"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in C.pii_scrub(df).collect()}
+    assert out[1].n_pii_email == 1 and "<EMAIL>" in out[1].text
+    assert "bob" not in out[1].text
+    assert out[2].n_pii_ipv4 == 2 and out[2].text.count("<IP>") == 2
+    assert out[3].n_pii_phone == 2 and out[3].text.count("<PHONE>") == 2
+    assert out[4].text == "no pii here just words"
+    assert out[4].n_pii_email == out[4].n_pii_ipv4 == out[4].n_pii_phone == 0
+    r5 = out[5]
+    assert "<EMAIL>" in r5.text and "<IP>" in r5.text and "<PHONE>" in r5.text
+    # redaction into a separate column preserves the original
+    kept = C.pii_scrub(df, out_col="clean").collect()[0]
+    assert kept.text != kept.clean or "pii" in kept.text
+
+
+def test_canonical_url(spark):
+    pairs = [
+        ("HTTPS://Example.COM:443/a/?utm_source=x&q=1#frag",
+         "https://example.com/a?q=1"),
+        ("http://example.com:80/path/", "http://example.com/path"),
+        ("https://example.com/?gclid=abc", "https://example.com"),
+        ("https://example.com/p?a=1&utm_medium=m&b=2",
+         "https://example.com/p?a=1&b=2"),
+        ("https://example.com/p?xutm_source=keep",
+         "https://example.com/p?xutm_source=keep"),
+        ("https://example.com/p", "https://example.com/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in pairs], "url string")
+    got = [r.c for r in df.select(C.canonical_url("url").alias("c")).collect()]
+    assert got == [want for _, want in pairs]
+
+
+def test_url_dedup(spark):
+    rows = [
+        (3, "https://Example.com/a?utm_source=t"),
+        (1, "https://example.com/a"),
+        (2, "https://example.com/b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, url string")
+    kept = sorted(r.doc_id for r in C.url_dedup(df).collect())
+    assert kept == [1, 2]
+    plan = C.url_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -118,6 +118,71 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     })
 
 
+_PII_PATTERNS = (
+    # order matters: emails before bare domains, long digit runs last
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\s().\-]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              out_col: str | None = None) -> DataFrame:
+    """Redact emails / IPv4 addresses / phone-shaped digit runs with typed
+    placeholder tokens, plus per-row hit counts for lineage (a corpus job
+    must be able to report HOW MUCH it redacted, not just do it).
+
+    Pure JVM-side ``regexp_replace`` / ``regexp_count`` chain — no Python
+    in the hot path, no shuffle, safe at any scale.  The patterns are the
+    standard high-precision subset (full PII detection needs NER models;
+    this is the regex tier every published corpus pipeline runs first)."""
+    out_col = out_col or text_col
+    t = F.col(text_col)
+    counts = {f"n_pii_{name}": F.regexp_count(t, F.lit(pat)).cast("bigint")
+              for name, pat, _ in _PII_PATTERNS}
+    red = t
+    for _, pat, token in _PII_PATTERNS:
+        red = F.regexp_replace(red, pat, token)
+    return df.withColumns({**counts, out_col: red})
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Canonicalize a URL column for URL-level dedup: lowercase scheme +
+    host, strip a default port, drop the fragment, drop tracking params
+    (utm_*, gclid, fbclid), and trim a trailing slash from the path.
+    Native expression tree — usable as a join/group key at any scale."""
+    u = F.col(url) if isinstance(url, str) else url
+    u = F.regexp_replace(u, r"#.*$", "")                       # fragment
+    # lowercase scheme://host (leave path/query case alone)
+    u = F.concat(F.lower(F.regexp_extract(u, r"^([^:/?#]+://[^/?#]*)", 1)),
+                 F.regexp_replace(u, r"^[^:/?#]+://[^/?#]*", ""))
+    u = F.regexp_replace(u, r"^(https?://[^/?#]*):(?:80|443)(?=[/?#]|$)",
+                         r"$1")                                # default port
+    # tracking params: strip k=v pairs then tidy separators
+    u = F.regexp_replace(
+        u, r"(?<=[?&])(?:utm_[a-z]+|gclid|fbclid)=[^&#]*&?", "")
+    u = F.regexp_replace(u, r"[?&]+$", "")                     # dangling ? &
+    u = F.regexp_replace(u, r"\?&", "?")                       # ?&a=1 → ?a=1
+    u = F.regexp_replace(u, r"(://[^/?#]+/[^?#]*?)/+(?=\?|$)", r"$1")
+    u = F.regexp_replace(u, r"(://[^/?#]+)/(?=\?|$)", r"$1")   # bare /
+    return u
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per canonical URL (min id wins) — the first-line dedup
+    every crawl corpus runs before any content hashing.  One shuffle on
+    the canonical key."""
+    key = canonical_url(url_col).alias("__canon")
+    from pyspark.sql import Window
+    w = Window.partitionBy("__canon")
+    return (df.withColumn("__canon", key)
+            .withColumn("__keeper", F.min(id_col).over(w))
+            .filter(F.col(id_col) == F.col("__keeper"))
+            .drop("__canon", "__keeper"))
+
+
 def clean_corpus(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", min_chars: int = 40,
                  max_punct_ratio: float = 0.2,
