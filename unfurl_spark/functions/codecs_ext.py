@@ -1,0 +1,1057 @@
+"""Extended from-scratch codecs: ICO favicons, APNG animation frames,
+FLAC audio, and TIFF images.
+
+These close honest boundaries left by ``codecs.py``/``jpegc.py``/``vp8l.py``
+with formats that are fully *self-describing* — every table the decoder
+needs (Huffman/Rice parameters, palettes, predictors) travels inside the
+file, so a pure stdlib+numpy implementation can be spec-exact without
+transcribing large external constant tables (the reason VP8 lossy / MP3
+remain ``CodecUnavailable``).
+
+Domain relevance: the reference surfaces favicon links as first-class
+icon results (packages/unfurl-html/src/index.ts:498 maps
+``metadata.icons``); decoding ICO payloads lets the media path emit real
+dimensions/pixels for the most common icon container on the web.  APNG
+extends the frame-sampling operator beyond GIF; FLAC extends the audio
+feature path beyond PCM WAV; TIFF covers the remaining common legacy
+image container (its IFD structure is already walked for EXIF in
+``media.py::_parse_tiff``).
+
+Formats implemented from their public specifications: ICO/DIB (MS BMP
+file format docs), APNG (W3C PNG 3rd ed. / Mozilla APNG spec), FLAC
+(RFC 9639), TIFF 6.0 (Adobe spec, incl. PackBits and TIFF-variant LZW).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from .codecs import CodecError, _check_dims, decode_png, encode_png, total
+
+__all__ = [
+    "decode_ico", "encode_ico",
+    "decode_apng_frames", "encode_apng",
+    "decode_flac", "encode_flac",
+    "decode_tiff", "encode_tiff",
+    "svg_info",
+]
+
+
+# =========================================================================
+# ICO — icon container (ICONDIR + per-entry PNG or BMP-DIB payloads)
+# =========================================================================
+
+def _decode_dib(data: bytes) -> np.ndarray:
+    """A BITMAPINFOHEADER DIB as stored inside an ICO entry: height is
+    doubled (XOR image + 1-bit AND transparency mask), no file header.
+    Returns HxWx4 RGBA."""
+    if len(data) < 40:
+        raise CodecError("ico: truncated DIB header")
+    (hsize, w, h2, _planes, bpp, comp) = struct.unpack("<IiihHI", data[:20])
+    if hsize < 40:
+        raise CodecError(f"ico: DIB header size {hsize}")
+    if comp != 0:
+        raise CodecError(f"ico: DIB compression {comp} unsupported")
+    h = h2 // 2 if h2 > 0 else abs(h2)  # AND mask is absent when negative
+    has_mask = h2 > 0 and h2 % 2 == 0
+    _check_dims(w, h, "ico")
+    off = hsize
+    palette = None
+    if bpp <= 8:
+        (ncolors,) = struct.unpack("<I", data[32:36])
+        ncolors = ncolors or (1 << bpp)
+        pal = np.frombuffer(data[off:off + 4 * ncolors], np.uint8)
+        if len(pal) < 4 * ncolors:
+            raise CodecError("ico: truncated palette")
+        palette = pal.reshape(-1, 4)[:, [2, 1, 0]]  # BGRX → RGB
+        off += 4 * ncolors
+
+    def rows(bits_per_px: int) -> np.ndarray:
+        stride = ((w * bits_per_px + 31) // 32) * 4
+        nonlocal off
+        raw = np.frombuffer(data[off:off + stride * h], np.uint8)
+        if len(raw) < stride * h:
+            raise CodecError("ico: truncated pixel data")
+        off += stride * h
+        return raw.reshape(h, stride)
+
+    if bpp == 32:
+        px = rows(32)[:, :w * 4].reshape(h, w, 4)
+        img = px[:, :, [2, 1, 0, 3]].copy()
+    elif bpp == 24:
+        px = rows(24)[:, :w * 3].reshape(h, w, 3)
+        img = np.concatenate([px[:, :, [2, 1, 0]],
+                              np.full((h, w, 1), 255, np.uint8)], axis=2)
+    elif bpp in (1, 4, 8):
+        raw = rows(bpp)
+        if bpp == 8:
+            idx = raw[:, :w]
+        elif bpp == 4:
+            hi = raw >> 4
+            lo = raw & 0xF
+            idx = np.stack([hi, lo], axis=2).reshape(h, -1)[:, :w]
+        else:
+            bits = np.unpackbits(raw, axis=1)
+            idx = bits[:, :w]
+        if palette is None or idx.max(initial=0) >= len(palette):
+            raise CodecError("ico: palette index out of range")
+        rgb = palette[idx]
+        img = np.concatenate([rgb, np.full((h, w, 1), 255, np.uint8)],
+                             axis=2)
+    else:
+        raise CodecError(f"ico: {bpp}-bit DIB unsupported")
+
+    if has_mask:
+        mask_rows = rows(1)
+        mask = np.unpackbits(mask_rows, axis=1)[:, :w]
+        if bpp != 32:  # 32bpp entries carry alpha already
+            img[:, :, 3] = np.where(mask == 1, 0, img[:, :, 3])
+    return img[::-1]  # DIBs are bottom-up
+
+
+def decode_ico(data: bytes) -> np.ndarray:
+    """Decode an ICO favicon to RGBA pixels of its largest entry.
+    Entries are PNG-compressed (modern 256px favicons) or BMP DIBs with
+    an AND transparency mask (classic)."""
+    if len(data) < 6 or data[:4] != b"\x00\x00\x01\x00":
+        raise CodecError("ico: bad ICONDIR signature")
+    (count,) = struct.unpack("<H", data[4:6])
+    if not 0 < count <= 64:
+        raise CodecError(f"ico: implausible entry count {count}")
+    best = None  # (area, offset, size)
+    for i in range(count):
+        e = data[6 + 16 * i: 6 + 16 * (i + 1)]
+        if len(e) < 16:
+            raise CodecError("ico: truncated ICONDIR entries")
+        w, h = e[0] or 256, e[1] or 256
+        size, off = struct.unpack("<II", e[8:16])
+        if best is None or w * h > best[0]:
+            best = (w * h, off, size)
+    _, off, size = best
+    body = data[off:off + size]
+    if len(body) < size:
+        raise CodecError("ico: truncated entry payload")
+    if body.startswith(b"\x89PNG\r\n\x1a\n"):
+        img = decode_png(body)
+        if img.ndim == 2:
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        if img.shape[2] == 3:
+            img = np.concatenate(
+                [img, np.full(img.shape[:2] + (1,), 255, np.uint8)], axis=2)
+        return img
+    return _decode_dib(body)
+
+
+def encode_ico(img: np.ndarray, png_entry: bool = False) -> bytes:
+    """Single-entry ICO writer for fixtures: PNG-in-ICO or a 32bpp DIB
+    with an all-opaque AND mask."""
+    img = np.atleast_3d(img.astype(np.uint8))
+    if img.shape[2] == 1:
+        img = np.repeat(img, 3, axis=2)
+    if img.shape[2] == 3:
+        img = np.concatenate(
+            [img, np.full(img.shape[:2] + (1,), 255, np.uint8)], axis=2)
+    h, w, _ = img.shape
+    if png_entry:
+        body = encode_png(img)
+    else:
+        bgra = img[:, :, [2, 1, 0, 3]][::-1].reshape(h, -1).tobytes()
+        mask_stride = ((w + 31) // 32) * 4
+        mask = b"\x00" * (mask_stride * h)
+        header = struct.pack("<IiihHIIiiII", 40, w, h * 2, 1, 32, 0,
+                             len(bgra) + len(mask), 0, 0, 0, 0)
+        body = header + bgra + mask
+    entry = struct.pack("<BBBBHHII", w if w < 256 else 0,
+                        h if h < 256 else 0, 0, 0, 1, 32, len(body), 22)
+    return b"\x00\x00\x01\x00\x01\x00" + entry + body
+
+
+# =========================================================================
+# SVG — intrinsic dimensions from the root element (text scan; raster
+# rendering is out of scope, dims are what the metadata path consumes)
+# =========================================================================
+
+import re as _re
+
+_SVG_TAG = _re.compile(rb"<svg\b([^>]*)>", _re.IGNORECASE | _re.DOTALL)
+_SVG_ATTR = _re.compile(
+    rb"""([a-zA-Z:_-]+)\s*=\s*("([^"]*)"|'([^']*)')""")
+_SVG_LEN = _re.compile(rb"^\s*([0-9]+(?:\.[0-9]+)?)\s*(px)?\s*$")
+
+
+def svg_info(data: bytes) -> tuple[int | None, int | None]:
+    """(width, height) of an SVG document: explicit width/height attrs
+    (px or unitless per CSS), else the viewBox aspect box."""
+    m = _SVG_TAG.search(data[:65536])
+    if not m:
+        raise CodecError("svg: no <svg> root element")
+    attrs = {k.lower(): (v3 or v4)  # findall yields b"" for the unmatched
+                                    # quote-style group, never None
+             for k, v2, v3, v4 in
+             ((g[0], g[1], g[2], g[3]) for g in _SVG_ATTR.findall(m.group(1)))}
+    def length(name: bytes):
+        v = attrs.get(name)
+        if v is None:
+            return None
+        lm = _SVG_LEN.match(v)
+        return int(float(lm.group(1))) if lm else None
+    w, h = length(b"width"), length(b"height")
+    if w is None or h is None:
+        vb = attrs.get(b"viewbox")
+        if vb:
+            parts = vb.replace(b",", b" ").split()
+            if len(parts) == 4:
+                try:
+                    vw, vh = float(parts[2]), float(parts[3])
+                    w = w if w is not None else int(vw)
+                    h = h if h is not None else int(vh)
+                except ValueError:
+                    pass
+    return w, h
+
+
+# =========================================================================
+# APNG — animated PNG (acTL/fcTL/fdAT chunks over the PNG core decoder)
+# =========================================================================
+
+def _png_chunks(data: bytes):
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise CodecError("apng: bad signature")
+    pos = 8
+    while pos + 8 <= len(data):
+        (clen,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + clen]
+        if len(body) < clen:
+            raise CodecError("apng: truncated chunk")
+        yield tag, body
+        if tag == b"IEND":
+            return
+        pos += 12 + clen
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def _to_rgba(img: np.ndarray) -> np.ndarray:
+    img = np.atleast_3d(img)
+    if img.shape[2] == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif img.shape[2] == 2:  # gray+alpha
+        img = np.concatenate([np.repeat(img[:, :, :1], 3, axis=2),
+                              img[:, :, 1:]], axis=2)
+    if img.shape[2] == 3:
+        img = np.concatenate(
+            [img, np.full(img.shape[:2] + (1,), 255, np.uint8)], axis=2)
+    return img
+
+
+@total
+def decode_apng_frames(data: bytes, max_frames: int | None = None
+                       ) -> list[tuple[np.ndarray, int]]:
+    """Decode APNG animation frames to [(RGBA canvas snapshot, ts_ms)].
+    Compositing follows the APNG spec: per-frame regions placed at
+    (x,y) with blend_op source/over and dispose_op none/background/
+    previous.  A plain PNG yields its single frame at ts 0."""
+    ihdr = None
+    shared = []          # PLTE / tRNS to replay into per-frame PNGs
+    frames_meta = []     # (fctl dict | None, [payload bytes])
+    default_idat = []
+    default_is_frame = False
+    seen_fctl = None
+    for tag, body in _png_chunks(data):
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag in (b"PLTE", b"tRNS"):
+            shared.append((tag, body))
+        elif tag == b"fcTL":
+            (_seq, fw, fh, fx, fy, dnum, dden, dispose, blend) = \
+                struct.unpack(">IIIIIHHBB", body)
+            seen_fctl = {"w": fw, "h": fh, "x": fx, "y": fy,
+                         "dnum": dnum, "dden": dden or 100,
+                         "dispose": dispose, "blend": blend}
+            frames_meta.append((seen_fctl, []))
+        elif tag == b"IDAT":
+            if seen_fctl is not None and frames_meta and \
+                    not frames_meta[-1][1] and len(frames_meta) == 1:
+                default_is_frame = True
+                frames_meta[-1][1].append(body)
+            default_idat.append(body)
+        elif tag == b"fdAT":
+            if not frames_meta:
+                raise CodecError("apng: fdAT before fcTL")
+            frames_meta[-1][1].append(body[4:])  # strip sequence number
+    if ihdr is None:
+        raise CodecError("apng: missing IHDR")
+    cw, ch = struct.unpack(">II", ihdr[:8])
+    _check_dims(cw, ch, "apng")
+
+    def sub_png(w: int, h: int, payloads: list[bytes]) -> np.ndarray:
+        hdr = struct.pack(">II", w, h) + ihdr[8:]
+        png = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", hdr)
+               + b"".join(_chunk(t, b) for t, b in shared)
+               + b"".join(_chunk(b"IDAT", p) for p in payloads)
+               + _chunk(b"IEND", b""))
+        return _to_rgba(decode_png(png))
+
+    if not frames_meta:  # plain PNG
+        if not default_idat:
+            raise CodecError("apng: no image data")
+        return [(sub_png(cw, ch, default_idat), 0)]
+
+    canvas = np.zeros((ch, cw, 4), np.uint8)
+    out: list[tuple[np.ndarray, int]] = []
+    ts = 0.0
+    for i, (meta, payloads) in enumerate(frames_meta):
+        if not payloads:
+            if i == 0 and default_is_frame:
+                payloads = default_idat
+            else:
+                raise CodecError("apng: fcTL without frame data")
+        region = sub_png(meta["w"], meta["h"], payloads)
+        x, y, fw, fh = meta["x"], meta["y"], meta["w"], meta["h"]
+        if x + fw > cw or y + fh > ch:
+            raise CodecError("apng: frame region outside canvas")
+        before = canvas.copy() if meta["dispose"] == 2 else None
+        target = canvas[y:y + fh, x:x + fw]
+        if meta["blend"] == 0:
+            target[:] = region
+        else:  # over
+            a = region[:, :, 3:4].astype(np.uint16)
+            inv = 255 - a
+            target[:, :, :3] = ((region[:, :, :3] * a
+                                 + target[:, :, :3] * inv) // 255
+                                ).astype(np.uint8)
+            target[:, :, 3:4] = (a + target[:, :, 3:4] * inv // 255
+                                 ).astype(np.uint8)
+        out.append((canvas.copy(), int(round(ts))))
+        ts += meta["dnum"] * 1000.0 / meta["dden"]
+        if meta["dispose"] == 1:
+            canvas[y:y + fh, x:x + fw] = 0
+        elif meta["dispose"] == 2:
+            canvas = before
+        if max_frames is not None and len(out) >= max_frames:
+            break
+    return out
+
+
+def encode_apng(frames: list[np.ndarray], delays_ms: list[int]
+                ) -> bytes:
+    """Fixture writer: full-canvas RGBA frames, blend=source,
+    dispose=none."""
+    if not frames or len(frames) != len(delays_ms):
+        raise ValueError("frames/delays mismatch")
+    frames = [_to_rgba(np.atleast_3d(f.astype(np.uint8))) for f in frames]
+    h, w, _ = frames[0].shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    out = [b"\x89PNG\r\n\x1a\n", _chunk(b"IHDR", ihdr),
+           _chunk(b"acTL", struct.pack(">II", len(frames), 0))]
+    seq = 0
+
+    def fctl(delay: int) -> bytes:
+        nonlocal seq
+        body = struct.pack(">IIIIIHHBB", seq, w, h, 0, 0, delay, 1000, 0, 0)
+        seq += 1
+        return _chunk(b"fcTL", body)
+
+    def raw_idat(img: np.ndarray) -> bytes:
+        return zlib.compress(
+            b"".join(b"\x00" + img[y].tobytes() for y in range(h)), 6)
+
+    out.append(fctl(delays_ms[0]))
+    out.append(_chunk(b"IDAT", raw_idat(frames[0])))
+    for img, delay in zip(frames[1:], delays_ms[1:]):
+        out.append(fctl(delay))
+        body = raw_idat(img)
+        out.append(_chunk(b"fdAT", struct.pack(">I", seq) + body))
+        seq += 1
+    out.append(_chunk(b"IEND", b""))
+    return b"".join(out)
+
+
+# =========================================================================
+# FLAC — free lossless audio (RFC 9639).  Self-describing end to end:
+# Rice parameters, predictor orders and LPC coefficients all travel in
+# the stream, so the decoder needs no external tables.
+# =========================================================================
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _Bits:
+    """MSB-first bit reader."""
+
+    def __init__(self, data: bytes, byte_pos: int = 0):
+        self.data = data
+        self.pos = byte_pos * 8
+
+    def read(self, n: int) -> int:
+        end = self.pos + n
+        if end > len(self.data) * 8:
+            raise CodecError("flac: truncated stream")
+        v = 0
+        pos = self.pos
+        while n:
+            byte = self.data[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = min(avail, n)
+            v = (v << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+            pos += take
+            n -= take
+        self.pos = pos
+        return v
+
+    def sread(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v & (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        n = 0
+        while self.read(1) == 0:
+            n += 1
+            if n > 1 << 20:
+                raise CodecError("flac: runaway unary code")
+        return n
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def byte_pos(self) -> int:
+        return self.pos >> 3
+
+
+_FIXED_COEF = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+_BLOCKSIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+               8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+               13: 8192, 14: 16384, 15: 32768}
+
+
+def _utf8_number(bits: _Bits) -> int:
+    b0 = bits.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    while b0 & (0x80 >> n):
+        n += 1
+    if n < 2 or n > 7:
+        raise CodecError("flac: bad UTF-8 coded number")
+    v = b0 & (0x7F >> n)
+    for _ in range(n - 1):
+        c = bits.read(8)
+        if c & 0xC0 != 0x80:
+            raise CodecError("flac: bad UTF-8 continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _residuals(bits: _Bits, blocksize: int, order: int) -> list[int]:
+    method = bits.read(2)
+    if method > 1:
+        raise CodecError(f"flac: residual method {method}")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = bits.read(4)
+    nparts = 1 << porder
+    if blocksize % nparts:
+        raise CodecError("flac: partition order mismatch")
+    res: list[int] = []
+    for p in range(nparts):
+        count = (blocksize >> porder) - (order if p == 0 else 0)
+        if count < 0:
+            raise CodecError("flac: negative partition sample count")
+        param = bits.read(pbits)
+        if param == escape:
+            raw = bits.read(5)
+            for _ in range(count):
+                res.append(bits.sread(raw) if raw else 0)
+        else:
+            for _ in range(count):
+                q = bits.unary()
+                v = (q << param) | bits.read(param)
+                res.append((v >> 1) ^ -(v & 1))
+    return res
+
+
+def _subframe(bits: _Bits, blocksize: int, depth: int) -> list[int]:
+    if bits.read(1):
+        raise CodecError("flac: subframe padding bit set")
+    stype = bits.read(6)
+    wasted = 0
+    if bits.read(1):
+        wasted = bits.unary() + 1
+    depth -= wasted
+    if stype == 0:  # CONSTANT
+        v = bits.sread(depth)
+        out = [v] * blocksize
+    elif stype == 1:  # VERBATIM
+        out = [bits.sread(depth) for _ in range(blocksize)]
+    elif 8 <= stype <= 12:  # FIXED
+        order = stype - 8
+        warm = [bits.sread(depth) for _ in range(order)]
+        res = _residuals(bits, blocksize, order)
+        coefs = _FIXED_COEF[order]
+        out = warm[:]
+        for i in range(order, blocksize):
+            pred = sum(c * out[i - 1 - j] for j, c in enumerate(coefs))
+            out.append(pred + res[i - order])
+    elif stype >= 32:  # LPC
+        order = stype - 31
+        warm = [bits.sread(depth) for _ in range(order)]
+        prec = bits.read(4) + 1
+        if prec == 16:
+            raise CodecError("flac: invalid LPC precision")
+        shift = bits.sread(5)
+        if shift < 0:
+            raise CodecError("flac: negative LPC shift")
+        coefs = [bits.sread(prec) for _ in range(order)]
+        res = _residuals(bits, blocksize, order)
+        out = warm[:]
+        for i in range(order, blocksize):
+            pred = sum(c * out[i - 1 - j] for j, c in enumerate(coefs))
+            out.append((pred >> shift) + res[i - order])
+    else:
+        raise CodecError(f"flac: reserved subframe type {stype}")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+@total
+def decode_flac(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode a FLAC stream → (sample_rate, int16 samples [n, channels]).
+    Supports all subframe types (CONSTANT / VERBATIM / FIXED 0-4 / LPC),
+    Rice + Rice2 + escaped residual partitions, wasted bits, and the four
+    channel assignments (independent, left/side, right/side, mid/side)."""
+    if data[:4] != b"fLaC":
+        raise CodecError("flac: bad signature")
+    pos = 4
+    rate = nch = bps = None
+    total_samples = 0
+    while pos + 4 <= len(data):
+        hdr = data[pos]
+        last, btype = hdr & 0x80, hdr & 0x7F
+        (blen,) = struct.unpack(">I", b"\x00" + data[pos + 1:pos + 4])
+        body = data[pos + 4:pos + 4 + blen]
+        if btype == 0:  # STREAMINFO
+            if len(body) < 34:
+                raise CodecError("flac: short STREAMINFO")
+            b = _Bits(body)
+            b.read(16); b.read(16); b.read(24); b.read(24)
+            rate = b.read(20)
+            nch = b.read(3) + 1
+            bps = b.read(5) + 1
+            total_samples = b.read(36)
+        pos += 4 + blen
+        if last:
+            break
+    if rate is None or not rate:
+        raise CodecError("flac: missing STREAMINFO")
+    if bps > 16:
+        raise CodecError(f"flac: {bps}-bit depth beyond int16 surface")
+
+    chans: list[list[int]] = [[] for _ in range(nch)]
+    while pos < len(data):
+        if pos + 2 > len(data):
+            break
+        bits = _Bits(data, pos)
+        sync = bits.read(14)
+        if sync != 0x3FFE:
+            raise CodecError("flac: lost frame sync")
+        bits.read(1)  # reserved
+        bits.read(1)  # blocking strategy
+        bs_code = bits.read(4)
+        sr_code = bits.read(4)
+        ch_code = bits.read(4)
+        ss_code = bits.read(3)
+        bits.read(1)  # reserved
+        _utf8_number(bits)
+        if bs_code == 0:
+            raise CodecError("flac: reserved blocksize code")
+        elif bs_code == 6:
+            blocksize = bits.read(8) + 1
+        elif bs_code == 7:
+            blocksize = bits.read(16) + 1
+        else:
+            blocksize = _BLOCKSIZES[bs_code]
+        if sr_code == 12:
+            bits.read(8)
+        elif sr_code in (13, 14):
+            bits.read(16)
+        depth = {0: bps, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}.get(ss_code)
+        if depth is None:
+            raise CodecError("flac: reserved sample size code")
+        # everything before the CRC-8 byte is whole bytes by construction
+        hdr_end = bits.byte_pos()
+        if _crc8(data[pos:hdr_end]) != bits.read(8):
+            raise CodecError("flac: frame header CRC mismatch")
+
+        if ch_code < 8:
+            if ch_code + 1 != nch:
+                raise CodecError("flac: channel count mismatch")
+            subs = [_subframe(bits, blocksize, depth) for _ in range(nch)]
+        elif ch_code in (8, 9, 10):
+            if nch != 2:
+                raise CodecError("flac: stereo decorrelation on non-stereo")
+            if ch_code == 8:    # left/side
+                left = _subframe(bits, blocksize, depth)
+                side = _subframe(bits, blocksize, depth + 1)
+                subs = [left, [l - s for l, s in zip(left, side)]]
+            elif ch_code == 9:  # right/side
+                side = _subframe(bits, blocksize, depth + 1)
+                right = _subframe(bits, blocksize, depth)
+                subs = [[r + s for r, s in zip(right, side)], right]
+            else:               # mid/side
+                mid = _subframe(bits, blocksize, depth)
+                side = _subframe(bits, blocksize, depth + 1)
+                subs = [[], []]
+                for m, s in zip(mid, side):
+                    m2 = (m << 1) | (s & 1)
+                    subs[0].append((m2 + s) >> 1)
+                    subs[1].append((m2 - s) >> 1)
+        else:
+            raise CodecError(f"flac: reserved channel assignment {ch_code}")
+        bits.align()
+        frame_end = bits.byte_pos()
+        (crc16,) = struct.unpack(">H", data[frame_end:frame_end + 2])
+        if _crc16(data[pos:frame_end]) != crc16:
+            raise CodecError("flac: frame CRC-16 mismatch")
+        for c in range(nch):
+            chans[c].extend(subs[c])
+        pos = frame_end + 2
+        if total_samples and len(chans[0]) >= total_samples:
+            break
+
+    n = total_samples or len(chans[0])
+    out = np.zeros((n, nch), np.int16)
+    for c in range(nch):
+        col = np.asarray(chans[c][:n], np.int64)
+        if bps < 16:
+            col = col << (16 - bps)
+        out[:, c] = col.astype(np.int16)
+    return rate, out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+def _rice_write(w: _BitWriter, residuals: list[int], param: int) -> None:
+    for r in residuals:
+        v = (r << 1) if r >= 0 else (((-r) << 1) - 1)
+        q = v >> param
+        w.write(0, q)       # q zero bits
+        w.write(1, 1)       # terminator
+        if param:
+            w.write(v & ((1 << param) - 1), param)
+
+
+def encode_flac(rate: int, samples: np.ndarray,
+                blocksize: int = 4096) -> bytes:
+    """Fixture writer: independent channels; per-subframe CONSTANT when
+    flat, FIXED order-2 + single-partition Rice when it compresses, else
+    VERBATIM — so round-trip tests exercise the constant, fixed-predictor,
+    Rice, and verbatim decode paths."""
+    samples = np.atleast_2d(np.asarray(samples, np.int16))
+    if samples.shape[0] < samples.shape[1]:
+        samples = samples.T
+    n, nch = samples.shape
+    if not 1 <= nch <= 8:
+        raise ValueError("flac: 1-8 channels")
+
+    si = _BitWriter()
+    si.write(blocksize, 16); si.write(blocksize, 16)
+    si.write(0, 24); si.write(0, 24)
+    si.write(rate, 20); si.write(nch - 1, 3); si.write(15, 5)  # 16-bit
+    si.write(n, 36)
+    streaminfo = si.bytes() + b"\x00" * 16  # md5 unknown (all zero = unset)
+    out = [b"fLaC",
+           bytes([0x80]) + struct.pack(">I", len(streaminfo))[1:],
+           streaminfo]
+
+    for fno in range(0, (n + blocksize - 1) // blocksize):
+        lo = fno * blocksize
+        block = samples[lo:lo + blocksize]
+        bs = block.shape[0]
+        w = _BitWriter()
+        w.write(0x3FFE, 14); w.write(0, 1); w.write(0, 1)
+        w.write(7, 4)        # blocksize: 16-bit at end of header
+        w.write(0, 4)        # sample rate: from STREAMINFO
+        w.write(nch - 1, 4)  # independent channels
+        w.write(4, 3)        # 16-bit samples
+        w.write(0, 1)
+        if fno < 0x80:       # UTF-8 coded frame number
+            w.write(fno, 8)
+        else:
+            w.write(0xC0 | (fno >> 6), 8)
+            w.write(0x80 | (fno & 0x3F), 8)
+        w.write(bs - 1, 16)
+        w.align()
+        hdr = w.bytes()
+        w = _BitWriter()
+        for b in hdr:
+            w.write(b, 8)
+        w.write(_crc8(hdr), 8)
+
+        for c in range(nch):
+            col = block[:, c].astype(np.int64)
+            if bs > 2 and (col == col[0]).all():
+                w.write(0, 1); w.write(0, 6); w.write(0, 1)  # CONSTANT
+                w.write(int(col[0]), 16)
+                continue
+            use_fixed = bs > 2
+            if use_fixed:
+                res = (col[2:] - 2 * col[1:-1] + col[:-2]).tolist()
+                mean = sum(abs(r) for r in res) / max(1, len(res))
+                param = 0
+                while (1 << param) < mean + 1 and param < 14:
+                    param += 1
+                fixed_bits = 32 + sum(
+                    ((abs(r) << 1) >> param) + 1 + param for r in res)
+                if fixed_bits >= bs * 16:
+                    use_fixed = False
+            if use_fixed:
+                w.write(0, 1); w.write(10, 6); w.write(0, 1)  # FIXED o2
+                w.write(int(col[0]), 16); w.write(int(col[1]), 16)
+                w.write(0, 2)   # Rice 4-bit params
+                w.write(0, 4)   # partition order 0
+                w.write(param, 4)
+                _rice_write(w, res, param)
+            else:
+                w.write(0, 1); w.write(1, 6); w.write(0, 1)   # VERBATIM
+                for v in col.tolist():
+                    w.write(int(v), 16)
+        w.align()
+        frame = w.bytes()
+        out.append(frame + struct.pack(">H", _crc16(frame)))
+    return b"".join(out)
+
+
+# =========================================================================
+# TIFF 6.0 — strip-based baseline images (uncompressed / PackBits /
+# TIFF-variant LZW, optional horizontal predictor, palette or RGB/gray).
+# The IFD walk mirrors media.py::_parse_tiff (EXIF reuses the same
+# structure); this adds the pixel path.
+# =========================================================================
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:      # literal run of n+1 bytes
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:    # repeat next byte 257-n times
+            if i >= len(data):
+                raise CodecError("tiff: truncated PackBits run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    if len(out) < expected:
+        raise CodecError("tiff: PackBits short output")
+    return bytes(out[:expected])
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW: MSB-first code packing, EarlyChange=1 (code
+    width bumps one code early), codes 256=Clear, 257=EOI."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == CLEAR:
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == EOI:
+                if len(out) < expected:
+                    raise CodecError("tiff: LZW short output")
+                return bytes(out[:expected])
+            if prev is None:
+                if code >= 256:
+                    raise CodecError("tiff: bad first LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise CodecError("tiff: LZW code out of range")
+            out += entry
+            prev = entry
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1  # EarlyChange: one code early
+            if len(out) >= expected:
+                return bytes(out[:expected])
+    raise CodecError("tiff: LZW stream ended without EOI")
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    CLEAR, EOI = 256, 257
+    w = _BitWriter()
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    width = 9
+    w.write(CLEAR, width)
+    cur = b""
+    for byte in data:
+        cand = cur + bytes([byte])
+        if cand in table:
+            cur = cand
+            continue
+        w.write(table[cur], width)
+        table[cand] = nxt
+        nxt += 1
+        if nxt + 1 > (1 << width) and width < 12:
+            width += 1
+        if nxt >= 4094:
+            w.write(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            nxt = 258
+            width = 9
+        cur = bytes([byte])
+    if cur:
+        w.write(table[cur], width)
+    w.write(EOI, width)
+    w.align()
+    return w.bytes()
+
+
+def _tiff_ifd(data: bytes) -> dict[int, tuple]:
+    if data[:2] == b"II":
+        e = "<"
+    elif data[:2] == b"MM":
+        e = ">"
+    else:
+        raise CodecError("tiff: bad byte order mark")
+    (magic,) = struct.unpack(e + "H", data[2:4])
+    if magic != 42:
+        raise CodecError("tiff: bad magic")
+    (ifd_off,) = struct.unpack(e + "I", data[4:8])
+    if ifd_off + 2 > len(data):
+        raise CodecError("tiff: IFD offset out of range")
+    (n,) = struct.unpack(e + "H", data[ifd_off:ifd_off + 2])
+    sizes = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    fmt = {1: "B", 3: "H", 4: "I"}
+    tags: dict[int, tuple] = {}
+    for i in range(n):
+        ent = data[ifd_off + 2 + 12 * i: ifd_off + 2 + 12 * (i + 1)]
+        if len(ent) < 12:
+            raise CodecError("tiff: truncated IFD")
+        tag, typ, cnt = struct.unpack(e + "HHI", ent[:8])
+        if typ not in sizes:
+            continue
+        total_sz = sizes[typ] * cnt
+        raw = ent[8:12] if total_sz <= 4 else None
+        if raw is None:
+            (off,) = struct.unpack(e + "I", ent[8:12])
+            raw = data[off:off + total_sz]
+            if len(raw) < total_sz:
+                raise CodecError("tiff: tag value out of range")
+        if typ in fmt:
+            tags[tag] = struct.unpack(e + fmt[typ] * cnt,
+                                      raw[:total_sz])
+    return tags
+
+
+@total
+def decode_tiff(data: bytes) -> np.ndarray:
+    """Decode the first IFD of a baseline TIFF: gray / RGB / RGBA /
+    palette, strips, Compression 1 (none) / 5 (LZW) / 32773 (PackBits),
+    Predictor 2 (horizontal differencing)."""
+    t = _tiff_ifd(data)
+    def one(tag, default=None):
+        v = t.get(tag)
+        return v[0] if v else default
+    w = one(256); h = one(257)
+    if not w or not h:
+        raise CodecError("tiff: missing dimensions")
+    _check_dims(w, h, "tiff")
+    spp = one(277, 1)
+    bits = t.get(258, (8,) * spp)
+    if any(b != 8 for b in bits):
+        raise CodecError("tiff: only 8 bits/sample supported")
+    comp = one(259, 1)
+    photo = one(262, 1)
+    predictor = one(317, 1)
+    offsets = t.get(273)
+    counts = t.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise CodecError("tiff: missing strip layout")
+    rows_per = one(278, h)
+    stride = w * spp
+    raw = bytearray()
+    row0 = 0
+    for off, cnt in zip(offsets, counts):
+        nrows = min(rows_per, h - row0)
+        expected = stride * nrows
+        chunk = data[off:off + cnt]
+        if len(chunk) < cnt:
+            raise CodecError("tiff: truncated strip")
+        if comp == 1:
+            if len(chunk) < expected:
+                raise CodecError("tiff: short uncompressed strip")
+            raw += chunk[:expected]
+        elif comp == 5:
+            raw += _tiff_lzw_decode(chunk, expected)
+        elif comp == 32773:
+            raw += _packbits_decode(chunk, expected)
+        else:
+            raise CodecError(f"tiff: compression {comp} unsupported")
+        row0 += nrows
+    img = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+    if predictor == 2:
+        img = np.cumsum(img.astype(np.uint16), axis=1).astype(np.uint8)
+    elif predictor != 1:
+        raise CodecError(f"tiff: predictor {predictor} unsupported")
+    if photo == 3:  # palette
+        cmap = t.get(320)
+        if not cmap or len(cmap) != 3 * 256:
+            raise CodecError("tiff: missing/invalid color map")
+        lut = (np.asarray(cmap, np.uint16).reshape(3, 256).T >> 8
+               ).astype(np.uint8)
+        img = lut[img[:, :, 0]]
+    elif photo == 0:  # white-is-zero
+        img = 255 - img
+    return img[:, :, 0] if img.shape[2] == 1 else img
+
+
+def encode_tiff(img: np.ndarray, compression: str = "none",
+                predictor: bool = False) -> bytes:
+    """Fixture writer: little-endian, single strip per 64 rows,
+    compression in {none, packbits, lzw}."""
+    img = np.atleast_3d(np.asarray(img, np.uint8))
+    h, w, spp = img.shape
+    comp_tag = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    rows_per = 64
+    body = img
+    if predictor:
+        d = img.astype(np.int16)
+        body = np.concatenate([d[:, :1], np.diff(d, axis=1)], axis=1
+                              ).astype(np.uint8)
+    strips = []
+    for r0 in range(0, h, rows_per):
+        chunk = body[r0:r0 + rows_per].tobytes()
+        if compression == "none":
+            strips.append(chunk)
+        elif compression == "lzw":
+            strips.append(_tiff_lzw_encode(chunk))
+        else:  # packbits: literal-only runs (valid, not minimal)
+            out = bytearray()
+            for i in range(0, len(chunk), 128):
+                part = chunk[i:i + 128]
+                out.append(len(part) - 1)
+                out += part
+            strips.append(bytes(out))
+    nstrips = len(strips)
+
+    entries = []  # (tag, type, count, value-or-bytes)
+    def ent(tag, typ, vals):
+        entries.append((tag, typ, vals))
+    ent(256, 4, [w]); ent(257, 4, [h])
+    ent(258, 3, [8] * spp)
+    ent(259, 3, [comp_tag])
+    ent(262, 3, [2 if spp >= 3 else 1])
+    ent(277, 3, [spp])
+    ent(278, 4, [rows_per])
+    ent(279, 4, [len(s) for s in strips])
+    if predictor:
+        ent(317, 3, [2])
+    # layout: header(8) + IFD + values + strips
+    sizes = {3: 2, 4: 4}
+    ifd_off = 8
+    ifd_len = 2 + 12 * (len(entries) + 1) + 4  # +1 for StripOffsets
+    val_off = ifd_off + ifd_len
+    overflow = b""
+    packed = []
+    for tag, typ, vals in entries:
+        total_sz = sizes[typ] * len(vals)
+        fmt = "<" + ("H" if typ == 3 else "I") * len(vals)
+        blob = struct.pack(fmt, *vals)
+        if total_sz <= 4:
+            packed.append((tag, typ, len(vals), blob.ljust(4, b"\x00")))
+        else:
+            packed.append((tag, typ, len(vals),
+                           struct.pack("<I", val_off + len(overflow))))
+            overflow += blob
+    # strip offsets (tag 273) computed after overflow area
+    strips_off = val_off + len(overflow) + 4 * nstrips
+    offs = []
+    pos = strips_off
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    blob = struct.pack("<" + "I" * nstrips, *offs)
+    if nstrips == 1:
+        packed.append((273, 4, 1, blob.ljust(4, b"\x00")))
+        strip_table = b""
+        # single strip: the reserved table slot stays, harmless zeros
+        strip_table = b"\x00" * 4
+    else:
+        packed.append((273, 4, nstrips,
+                       struct.pack("<I", val_off + len(overflow))))
+        strip_table = blob
+        strip_table += b"" if 4 * nstrips >= 4 else b"\x00" * 4
+    packed.sort(key=lambda x: x[0])
+    out = [b"II*\x00", struct.pack("<I", ifd_off),
+           struct.pack("<H", len(packed))]
+    for tag, typ, cnt, v4 in packed:
+        out.append(struct.pack("<HHI", tag, typ, cnt) + v4)
+    out.append(struct.pack("<I", 0))  # next IFD
+    out.append(overflow)
+    out.append(strip_table if nstrips > 1 else b"\x00" * 4)
+    out.extend(strips)
+    return b"".join(out)

@@ -249,6 +249,17 @@ def _sniff(data: bytes) -> str | None:
     if data[:2] in (b"P5", b"P6") and len(data) > 2 and \
             (data[2:3].isspace() or data[2:3] == b"#"):
         return "ppm"
+    if data[:4] == b"\x00\x00\x01\x00" and len(data) >= 6 and \
+            data[4] | (data[5] << 8) > 0:
+        return "ico"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    if data[:4] == b"fLaC":
+        return "flac"
+    head = data[:1024].lstrip(b"\xef\xbb\xbf \t\r\n").lower()
+    if head.startswith((b"<svg", b"<?xml", b"<!doctype svg")) and \
+            b"<svg" in data[:1024].lower():
+        return "svg"
     if len(data) > 12 and data[4:8] == b"ftyp":
         return "mp4"
     if data[:4] == b"\x1aE\xdf\xa3":

@@ -9,14 +9,16 @@ image/audio/video payloads at 100 TB.
 
 Spark-side plumbing (schemas, salt partitioning, Arrow batch shape,
 byte caps) is real and tested, and so is the pixel path for the
-formats the pure-stdlib codecs in ``codecs.py``/``jpegc.py`` cover:
-PNG, JPEG (baseline + progressive), GIF, BMP, PPM, lossless WebP
-(VP8L) images and PCM WAV audio decode to real pixels/samples, feed a
-real box-filter resize and real feature statistics.  Formats whose
-essence needs an out-of-container codec (WebP VP8 lossy, MP4/H.264,
-WebM, MP3) raise ``CodecUnavailable`` and fall
-back to a deterministic payload-hash fake — the honest boundary in
-this environment, visible per-row in the ``ok`` lineage column.
+formats the pure-stdlib codecs in ``codecs.py``/``jpegc.py``/
+``vp8l.py``/``codecs_ext.py`` cover: PNG (+APNG frames), JPEG
+(baseline + progressive), GIF, BMP, PPM, lossless WebP (VP8L), ICO
+favicons, baseline TIFF images, and PCM WAV + FLAC audio decode to
+real pixels/samples, feed a real box-filter resize and real feature
+statistics; SVG yields real intrinsic dimensions (rasterization out
+of scope).  Formats whose essence needs an out-of-container codec
+(WebP VP8 lossy, MP4/H.264, WebM, MP3) raise ``CodecUnavailable`` and
+fall back to a deterministic payload-hash fake — the honest boundary
+in this environment, visible per-row in the ``ok`` lineage column.
 
 All operators are Arrow-batched via ``mapInArrow`` — no per-row Python
 UDFs, payloads cross as Arrow binary buffers (zero-copy from the JVM).
@@ -42,6 +44,12 @@ from .codecs import (
     decode_wav,
     resize_area,
 )
+from .codecs_ext import (
+    decode_apng_frames,
+    decode_flac,
+    decode_ico,
+    decode_tiff,
+)
 from .jpegc import decode_jpeg
 from .media import _png_info, _sniff, _webp_info, mkv_metadata, mp4_metadata
 from .vp8l import decode_webp
@@ -66,6 +74,8 @@ _DECODERS = {
     "bmp": decode_bmp,
     "ppm": decode_ppm,
     "webp": decode_webp,  # VP8L real; VP8 lossy → CodecUnavailable
+    "ico": decode_ico,    # PNG-in-ICO and classic DIB+mask entries
+    "tiff": decode_tiff,  # baseline strips: none/LZW/PackBits
 }
 
 
@@ -81,6 +91,11 @@ def decode_pixels(payload: bytes, container: str):
         return dec(payload)
     if container == "wav":
         return decode_wav(payload)
+    if container == "flac":
+        return decode_flac(payload)
+    if container == "svg":
+        raise CodecUnavailable(
+            "svg: vector rasterization out of scope (dims are real)")
     raise CodecUnavailable(
         f"container {container!r} needs an external codec "
         "(not installed in this environment)")
@@ -142,6 +157,25 @@ def _dims_raw(container: str | None, data: bytes):
     if container == "webm":
         meta = mkv_metadata(data)
         return meta.get("width"), meta.get("height")
+    if container == "ico" and len(data) >= 22:
+        # largest ICONDIR entry (0 encodes 256)
+        n = data[4] | (data[5] << 8)
+        best = (0, None, None)
+        for i in range(min(n, 64)):
+            e = data[6 + 16 * i: 6 + 16 * i + 2]
+            if len(e) < 2:
+                break
+            w, h = e[0] or 256, e[1] or 256
+            if w * h > best[0]:
+                best = (w * h, w, h)
+        return best[1], best[2]
+    if container == "tiff":
+        from .codecs_ext import _tiff_ifd
+        t = _tiff_ifd(data)
+        return (t.get(256, (None,))[0], t.get(257, (None,))[0])
+    if container == "svg":
+        from .codecs_ext import svg_info
+        return svg_info(data)
     return None, None
 
 
@@ -358,7 +392,8 @@ def sample_frames(df: DataFrame, n_frames: int = 4,
             for ref, payload in zip(refs, payloads):
                 data = payload or b""
                 real = None
-                if _sniff(data) == "gif":
+                kind = _sniff(data)
+                if kind == "gif":
                     try:
                         decoded = decode_gif_frames(data, max_frames=256)
                         # n_frames picks spread evenly over the clip
@@ -370,6 +405,17 @@ def sample_frames(df: DataFrame, n_frames: int = 4,
                             ts_cum.append(acc)
                             acc += delay or frame_interval_ms
                         real = [(ts_cum[j], decoded[j][1].tobytes())
+                                for j in picks]
+                    except (CodecError, CodecUnavailable):
+                        real = None
+                elif kind == "png" and b"acTL" in data[:8192]:
+                    # APNG: frames carry their own timestamps
+                    try:
+                        decoded = decode_apng_frames(data, max_frames=256)
+                        picks = [min(len(decoded) - 1,
+                                     i * len(decoded) // n_frames)
+                                 for i in range(n_frames)]
+                        real = [(decoded[j][1], decoded[j][0].tobytes())
                                 for j in picks]
                     except (CodecError, CodecUnavailable):
                         real = None
