@@ -321,3 +321,14 @@ def test_decode_media_new_containers(spark):
     assert [r["frame_ts_ms"] for r in fr] == [0, 500, 1000]
     vals = [np.frombuffer(bytes(r["payload"]), np.uint8)[0] for r in fr]
     assert vals == [30, 120, 210]
+
+
+def test_exif_entry_points_read_tiff():
+    from unfurl_spark.functions.media import exif_image, exiftool_image
+    img = RNG.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    t = encode_tiff(img)
+    out = exiftool_image("u", t)
+    assert (out["width"], out["height"]) == (32.0, 24.0)
+    assert out["encodingFormat"] == "image/tiff"
+    out2 = exif_image("u", t, "image/tiff")
+    assert (out2["width"], out2["height"]) == (32, 24)

@@ -280,6 +280,16 @@ def _read_image(data: bytes):
     if kind == "webp":
         w, h, xmp, tags = _webp_info(data)
         return kind, tags, w, h, xmp
+    if kind == "tiff":
+        # a TIFF file IS an EXIF directory structure — same walk
+        # (ExifReader and exiftool both read TIFF; no fixture covers it,
+        # this extends the real-corpus surface)
+        try:
+            tags = _parse_tiff(data)
+        except Exception:
+            return kind, {}, None, None, {}
+        return (kind, tags, tags.get("ImageWidth"),
+                tags.get("ImageHeight"), {})
     return None, {}, None, None, {}
 
 
@@ -321,7 +331,8 @@ def exif_image(url: str, data: bytes, encoding_format: str) -> dict:
     }
 
 
-_MIMES = {"jpeg": "image/jpeg", "png": "image/png", "webp": "image/webp"}
+_MIMES = {"jpeg": "image/jpeg", "png": "image/png", "webp": "image/webp",
+          "tiff": "image/tiff"}
 
 
 def exiftool_image(url: str, data: bytes) -> dict:
