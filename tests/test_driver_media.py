@@ -93,3 +93,49 @@ def test_media_job_resume_is_op_aware(spark, tmp_path):
                        ops=("decode",), n_buckets=4, buckets_per_job=4,
                        run_id="o4")
     assert s4["processed_buckets"] == []
+
+
+def test_media_job_new_containers(spark, tmp_path):
+    """ICO / TIFF / FLAC / APNG / SVG payloads flow through the same
+    bucketed job envelope: decoded containers count as decoded, SVG
+    stays flagged (dims real, rasterization out of scope)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from unfurl_spark.functions.codecs_ext import (
+        encode_apng, encode_flac, encode_ico, encode_tiff)
+
+    img = np.arange(24 * 32 * 3, dtype=np.uint8).reshape(24, 32, 3)
+    frames = [np.full((8, 8, 4), v, np.uint8) for v in (10, 200)]
+    rows = {
+        "fav.ico": encode_ico(img),
+        "scan.tiff": encode_tiff(img, compression="packbits"),
+        "clip.apng": encode_apng(frames, [50, 50]),
+        "song.flac": encode_flac(
+            8000, (1000 * np.sin(np.arange(3000) / 9)
+                   ).astype(np.int16).reshape(-1, 1)),
+        "logo.svg": b'<svg width="10" height="20"></svg>',
+    }
+    src = str(tmp_path / "media.parquet")
+    pq.write_table(pa.table({
+        "media_ref": list(rows),
+        "ctype": ["application/octet-stream"] * len(rows),
+        "payload": list(rows.values()),
+    }), src)
+    out = str(tmp_path / "out")
+    s = run_media_job(spark, src, out, ops=("decode", "features"),
+                      n_buckets=2, buckets_per_job=2, run_id="nc1")
+    assert s["n_media"] == 5
+    assert s["n_decoded"] == 4          # all but svg
+    assert s["n_codec_unavailable"] == 1
+    assert s["n_errors"] == 0
+    meta = {r["media_ref"]: r
+            for r in spark.read.parquet(f"{out}/media_meta").collect()}
+    assert meta["fav.ico"]["container"] == "ico"
+    assert (meta["scan.tiff"]["width"], meta["scan.tiff"]["height"]) \
+        == (32, 24)
+    assert meta["song.flac"]["container"] == "flac"
+    assert (meta["logo.svg"]["width"], meta["logo.svg"]["height"]) \
+        == (10, 20)
+    assert meta["logo.svg"]["ok"] == "codec:unavailable"
