@@ -332,3 +332,56 @@ def test_exif_entry_points_read_tiff():
     assert out["encodingFormat"] == "image/tiff"
     out2 = exif_image("u", t, "image/tiff")
     assert (out2["width"], out2["height"]) == (32, 24)
+
+
+# --- property-based round-trips ---------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(3, 4),
+       st.integers(0, 2**32 - 1))
+def test_ico_roundtrip_property(w, h, ch, seed):
+    img = np.random.default_rng(seed).integers(
+        0, 256, (h, w, ch), dtype=np.uint8)
+    out = decode_ico(encode_ico(img))
+    assert np.array_equal(out[:, :, :ch], img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 50), st.integers(1, 50),
+       st.sampled_from(["none", "packbits", "lzw"]),
+       st.integers(0, 2**32 - 1))
+def test_tiff_roundtrip_property(w, h, compression, seed):
+    img = np.random.default_rng(seed).integers(
+        0, 256, (h, w, 3), dtype=np.uint8)
+    out = decode_tiff(encode_tiff(img, compression=compression))
+    assert np.array_equal(out, img)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 3000), st.integers(1, 2), st.integers(0, 2**32 - 1),
+       st.sampled_from([256, 1024, 4096]))
+def test_flac_roundtrip_property(n, ch, seed, blocksize):
+    rng = np.random.default_rng(seed)
+    # mix of smooth and noisy segments exercises FIXED vs VERBATIM
+    sig = (rng.integers(-6, 7, (n, ch)).cumsum(axis=0)
+           + rng.integers(-3000, 3000, (1, ch))).clip(-32768, 32767
+                                                      ).astype(np.int16)
+    rate, out = decode_flac(encode_flac(8000, sig, blocksize=blocksize))
+    assert np.array_equal(out, sig)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(1, 16), st.integers(1, 16), st.integers(1, 5),
+       st.integers(0, 2**32 - 1))
+def test_apng_roundtrip_property(w, h, nframes, seed):
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+              for _ in range(nframes)]
+    got = decode_apng_frames(encode_apng(frames, [10] * nframes))
+    assert len(got) == nframes
+    for (g, _), f in zip(got, frames):
+        assert np.array_equal(g, f)
