@@ -385,3 +385,29 @@ def test_apng_roundtrip_property(w, h, nframes, seed):
     assert len(got) == nframes
     for (g, _), f in zip(got, frames):
         assert np.array_equal(g, f)
+
+
+# --- AIFF --------------------------------------------------------------------
+
+def test_aiff_roundtrip_mono_stereo():
+    from unfurl_spark.functions.codecs_ext import decode_aiff, encode_aiff
+    rng = np.random.default_rng(13)
+    for rate in (8000, 44100):
+        for shape in ((1000, 1), (777, 2)):
+            sig = rng.integers(-32768, 32767, shape).astype(np.int16)
+            r, out = decode_aiff(encode_aiff(rate, sig))
+            assert r == rate and np.array_equal(out, sig)
+
+
+def test_aiff_sniff_features_and_garbage():
+    from unfurl_spark.functions.codecs_ext import decode_aiff, encode_aiff
+    sig = _sig_smooth(2000).reshape(-1, 1)
+    data = encode_aiff(22050, sig)
+    assert _sniff(data) == "aiff"
+    from unfurl_spark.functions.multimodal import decode_pixels
+    rate, out = decode_pixels(data, "aiff")
+    assert rate == 22050 and np.array_equal(out, sig)
+    with pytest.raises(CodecError):
+        decode_aiff(b"FORM\x00\x00\x00\x04AIFF")
+    with pytest.raises(CodecError):
+        decode_aiff(data[:60])

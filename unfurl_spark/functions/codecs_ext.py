@@ -36,6 +36,7 @@ __all__ = [
     "decode_apng_frames", "encode_apng",
     "decode_flac", "encode_flac",
     "decode_tiff", "encode_tiff",
+    "decode_aiff", "encode_aiff",
     "svg_info",
 ]
 
@@ -1055,3 +1056,99 @@ def encode_tiff(img: np.ndarray, compression: str = "none",
     out.append(strip_table if nstrips > 1 else b"\x00" * 4)
     out.extend(strips)
     return b"".join(out)
+
+
+# =========================================================================
+# AIFF — PCM big-endian audio (Apple AIFF-C spec).  Completes the audio
+# container set next to WAV (codecs.py) and FLAC (above).
+# =========================================================================
+
+def _read_f80(b: bytes) -> int:
+    """80-bit IEEE 754 extended float (AIFF sample rate) → int Hz."""
+    if len(b) < 10:
+        raise CodecError("aiff: short extended float")
+    (se,) = struct.unpack(">H", b[:2])
+    exp = se & 0x7FFF
+    (mant,) = struct.unpack(">Q", b[2:10])
+    if exp == 0 and mant == 0:
+        return 0
+    if exp == 0x7FFF:
+        raise CodecError("aiff: non-finite sample rate")
+    val = mant * 2.0 ** (exp - 16383 - 63)
+    if se & 0x8000:
+        val = -val
+    if not 0 < val < 2**31:
+        raise CodecError("aiff: implausible sample rate")
+    return int(round(val))
+
+
+@total
+def decode_aiff(data: bytes) -> tuple[int, np.ndarray]:
+    """AIFF / AIFF-C PCM → (sample_rate, int16 samples [n, channels])."""
+    if data[:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
+        raise CodecError("aiff: bad FORM header")
+    pos = 12
+    nch = nframes = bits = rate = None
+    sound = None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (clen,) = struct.unpack(">I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + clen]
+        if tag == b"COMM":
+            if len(body) < 18:
+                raise CodecError("aiff: short COMM chunk")
+            nch, nframes, bits = struct.unpack(">hIh", body[:8])
+            rate = _read_f80(body[8:18])
+            if len(body) >= 22 and body[18:22] not in (b"NONE", b"sowt"):
+                raise CodecError(
+                    f"aiff: compression {body[18:22]!r} unsupported")
+            little = len(body) >= 22 and body[18:22] == b"sowt"
+        elif tag == b"SSND":
+            if len(body) < 8:
+                raise CodecError("aiff: short SSND chunk")
+            (off, _blk) = struct.unpack(">II", body[:8])
+            sound = body[8 + off:]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or sound is None:
+        raise CodecError("aiff: missing COMM/SSND chunk")
+    if not 1 <= nch <= 64 or bits not in (8, 16):
+        raise CodecError(f"aiff: {nch}ch/{bits}-bit unsupported")
+    if bits == 16:
+        dt = "<i2" if little else ">i2"
+        n = min(nframes, len(sound) // (2 * nch))
+        arr = np.frombuffer(sound[:n * 2 * nch], dt).astype(np.int16)
+    else:  # 8-bit AIFF PCM is SIGNED (unlike WAV)
+        n = min(nframes, len(sound) // nch)
+        arr = (np.frombuffer(sound[:n * nch], np.int8)
+               .astype(np.int16) << 8)
+    if n < nframes:
+        raise CodecError("aiff: truncated sound data")
+    return rate, arr.reshape(n, nch)
+
+
+def encode_aiff(rate: int, samples: np.ndarray) -> bytes:
+    """Fixture writer: 16-bit big-endian PCM AIFF."""
+    samples = np.atleast_2d(np.asarray(samples, np.int16))
+    if samples.shape[0] < samples.shape[1]:
+        samples = samples.T
+    n, nch = samples.shape
+    # 80-bit extended float for the sample rate
+    if rate <= 0:
+        raise ValueError("aiff: rate must be positive")
+    exp = 16383 + 63
+    mant = rate
+    while mant < 1 << 63:
+        mant <<= 1
+        exp -= 1
+    while mant >= 1 << 64:
+        mant >>= 1
+        exp += 1
+    comm = struct.pack(">hIh", nch, n, 16) + struct.pack(">HQ", exp, mant)
+    ssnd = struct.pack(">II", 0, 0) + samples.astype(">i2").tobytes()
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack(">I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    body = b"AIFF" + chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+    return b"FORM" + struct.pack(">I", len(body)) + body

@@ -256,6 +256,8 @@ def _sniff(data: bytes) -> str | None:
         return "tiff"
     if data[:4] == b"fLaC":
         return "flac"
+    if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
+        return "aiff"
     head = data[:1024].lstrip(b"\xef\xbb\xbf \t\r\n").lower()
     if head.startswith((b"<svg", b"<?xml", b"<!doctype svg")) and \
             b"<svg" in data[:1024].lower():

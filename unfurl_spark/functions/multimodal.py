@@ -93,6 +93,9 @@ def decode_pixels(payload: bytes, container: str):
         return decode_wav(payload)
     if container == "flac":
         return decode_flac(payload)
+    if container == "aiff":
+        from .codecs_ext import decode_aiff
+        return decode_aiff(payload)
     if container == "svg":
         raise CodecUnavailable(
             "svg: vector rasterization out of scope (dims are real)")
