@@ -12,7 +12,7 @@ byte caps) is real and tested, and so is the pixel path for the
 formats the pure-stdlib codecs in ``codecs.py``/``jpegc.py``/
 ``vp8l.py``/``codecs_ext.py`` cover: PNG (+APNG frames), JPEG
 (baseline + progressive), GIF, BMP, PPM, lossless WebP (VP8L), ICO
-favicons, baseline TIFF images, and PCM WAV + FLAC audio decode to
+favicons, baseline TIFF images, and PCM WAV + FLAC + AIFF audio decode to
 real pixels/samples, feed a real box-filter resize and real feature
 statistics; SVG yields real intrinsic dimensions (rasterization out
 of scope).  Formats whose essence needs an out-of-container codec
