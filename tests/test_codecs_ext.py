@@ -110,6 +110,36 @@ def test_apng_roundtrip_and_timestamps():
     assert len(decode_apng_frames(data, max_frames=2)) == 2
 
 
+def test_apng_split_idat_default_frame():
+    """libpng splits IDAT at 8 KiB; a multi-IDAT default image that is
+    also frame 0 must decode identically to the single-chunk form."""
+    import struct
+    import zlib as z
+    frames = [RNG.integers(0, 256, (16, 16, 4), dtype=np.uint8)
+              for _ in range(3)]
+    data = encode_apng(frames, [40, 60, 80])
+    # locate the single IDAT chunk and split its body into 2 IDATs
+    pos = 8
+    out = bytearray(data[:8])
+    while pos < len(data):
+        (clen,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + clen]
+        if tag == b"IDAT":
+            mid = max(1, clen // 2)
+            for part in (body[:mid], body[mid:]):
+                out += struct.pack(">I", len(part)) + b"IDAT" + part
+                out += struct.pack(
+                    ">I", z.crc32(b"IDAT" + part) & 0xFFFFFFFF)
+        else:
+            out += data[pos:pos + 12 + clen]
+        pos += 12 + clen
+    got = decode_apng_frames(bytes(out))
+    assert [t for _, t in got] == [0, 40, 100]
+    for (g, _), f in zip(got, frames):
+        assert np.array_equal(g, f)
+
+
 def test_apng_plain_png_single_frame():
     img = RNG.integers(0, 256, (6, 7, 3), dtype=np.uint8)
     got = decode_apng_frames(encode_png(img))

@@ -144,6 +144,15 @@ def test_host_gate_equivalent_to_full_scan():
                     concrete.split("://", 1)[-1],        # schemeless
                     "https://unrelated.example/" + concrete,
                 ]
+                # query/fragment/userinfo-smuggled hosts: a wildcard in
+                # the authority must never be satisfied by a suffix that
+                # only appears after ?, # or @ (host-spoofing vector)
+                if "://*" in glob:
+                    suffix = glob.split("://*", 1)[1]
+                    for sep in ("?x=", "#", ""):
+                        urls.append("https://evil.com" + sep + suffix)
+                    urls.append("https://evil.com?y=" + suffix
+                                + "@evil.net/z")
     urls += ["", "not a url", "https://", "https://[::1]/x",
              "ftp://instagram.com/p/x", "https://com/p/x",
              "https://instagram.com.evil.net/p/abc"]

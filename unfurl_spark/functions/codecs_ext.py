@@ -278,10 +278,13 @@ def decode_apng_frames(data: bytes, max_frames: int | None = None
                          "dispose": dispose, "blend": blend}
             frames_meta.append((seen_fctl, []))
         elif tag == b"IDAT":
-            if seen_fctl is not None and frames_meta and \
-                    not frames_meta[-1][1] and len(frames_meta) == 1:
+            # When an fcTL precedes the default image, the default image
+            # IS frame 0.  IDAT may be split across many chunks (libpng
+            # splits at 8 KiB), so don't capture into frames_meta here;
+            # the `i == 0 and default_is_frame` fallback below supplies
+            # the full accumulated default_idat list.
+            if seen_fctl is not None and len(frames_meta) == 1:
                 default_is_frame = True
-                frames_meta[-1][1].append(body)
             default_idat.append(body)
         elif tag == b"fdAT":
             if not frames_meta:
@@ -693,9 +696,13 @@ def encode_flac(rate: int, samples: np.ndarray,
     flat, FIXED order-2 + single-partition Rice when it compresses, else
     VERBATIM — so round-trip tests exercise the constant, fixed-predictor,
     Rice, and verbatim decode paths."""
-    samples = np.atleast_2d(np.asarray(samples, np.int16))
-    if samples.shape[0] < samples.shape[1]:
-        samples = samples.T
+    samples = np.asarray(samples, np.int16)
+    # 2-D input is authoritative (n_samples, n_channels) — matching
+    # encode_wav/decode_flac; only 1-D input is promoted to mono.
+    if samples.ndim == 1:
+        samples = samples.reshape(-1, 1)
+    elif samples.ndim != 2:
+        raise ValueError("samples must be 1-D or (n_samples, n_channels)")
     n, nch = samples.shape
     if not 1 <= nch <= 8:
         raise ValueError("flac: 1-8 channels")
@@ -1128,9 +1135,13 @@ def decode_aiff(data: bytes) -> tuple[int, np.ndarray]:
 
 def encode_aiff(rate: int, samples: np.ndarray) -> bytes:
     """Fixture writer: 16-bit big-endian PCM AIFF."""
-    samples = np.atleast_2d(np.asarray(samples, np.int16))
-    if samples.shape[0] < samples.shape[1]:
-        samples = samples.T
+    samples = np.asarray(samples, np.int16)
+    # 2-D input is authoritative (n_samples, n_channels) — matching
+    # encode_wav/decode_flac; only 1-D input is promoted to mono.
+    if samples.ndim == 1:
+        samples = samples.reshape(-1, 1)
+    elif samples.ndim != 2:
+        raise ValueError("samples must be 1-D or (n_samples, n_channels)")
     n, nch = samples.shape
     # 80-bit extended float for the sample rate
     if rate <= 0:

@@ -206,11 +206,15 @@ PROVIDERS: list[dict] = [
 
 def _compile_scheme(glob: str) -> re.Pattern:
     """providers.json scheme glob → fully-anchored regex.  A `*` in the
-    authority (host) segment matches within that segment only (`[^/]*`) —
-    `http://*.youtube.com/...` must not match a foreign host whose PATH
-    happens to contain `.youtube.com/` — while path/query `*`s span any
-    chars (slugs, tails).  Both ends anchored: a scheme claims whole
-    URLs, not prefixes."""
+    authority (host) segment matches within that segment only
+    (`[^/?#@]*`) — `http://*.youtube.com/...` must not match a foreign
+    host whose PATH, QUERY or FRAGMENT happens to contain
+    `.youtube.com/` (e.g. `https://evil.com?x=.youtube.com/...` smuggles
+    the suffix through the query), nor a userinfo smuggle via `@` —
+    while path/query `*`s span any chars (slugs, tails).  Both ends
+    anchored: a scheme claims whole URLs, not prefixes.  Keeping the
+    authority `*` inside the authority also preserves the host-suffix
+    bucket gate's superset invariant."""
     m = re.match(r"[a-z][a-z0-9+.-]*://", glob)
     head = m.group(0) if m else ""
     rest = glob[len(head):]
@@ -221,7 +225,8 @@ def _compile_scheme(glob: str) -> re.Pattern:
         return star.join(re.escape(p) for p in segment.split("*"))
 
     return re.compile(
-        "^" + re.escape(head) + _tr(auth, "[^/]*") + _tr(path, ".*") + "$")
+        "^" + re.escape(head) + _tr(auth, "[^/?#@]*") + _tr(path, ".*")
+        + "$")
 
 
 class _Compiled:
