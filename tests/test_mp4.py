@@ -123,3 +123,101 @@ def test_mvhd_v1_truncated_box_no_phantom_duration():
     moov = struct.pack(">I", 8 + len(mvhd) + len(free)) + b"moov" + mvhd + free
     meta = mp4_metadata(ftyp + moov)
     assert "duration_s" not in meta
+
+
+# --- HEIF / AVIF still images ------------------------------------------------
+
+def _box(tag: bytes, body: bytes) -> bytes:
+    import struct
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def _minimal_heif(major: bytes, w: int, h: int,
+                  thumb: tuple[int, int] | None = (160, 120),
+                  with_assoc: bool = True) -> bytes:
+    """ftyp + meta{pitm, iprp{ipco[ispe(thumb), ispe(primary)], ipma}}.
+    The primary item (id=1) is associated with the SECOND ispe so the
+    test distinguishes pitm/ipma resolution from first-box luck."""
+    import struct
+    ftyp = _box(b"ftyp", major + struct.pack(">I", 0) + major + b"mif1")
+    ispe_p = _box(b"ispe", b"\x00\x00\x00\x00" + struct.pack(">II", w, h))
+    ipco_body = b""
+    if thumb:
+        ipco_body += _box(
+            b"ispe", b"\x00\x00\x00\x00" + struct.pack(">II", *thumb))
+    prop_idx = 2 if thumb else 1
+    ipco_body += ispe_p
+    ipco = _box(b"ipco", ipco_body)
+    pitm = _box(b"pitm", b"\x00\x00\x00\x00" + struct.pack(">H", 1))
+    # ipma v0 flags0: item 1 -> [prop_idx], item 2 -> [1] (thumb)
+    entries = struct.pack(">I", 2 if thumb else 1)
+    entries += struct.pack(">HBB", 1, 1, prop_idx)
+    if thumb:
+        entries += struct.pack(">HBB", 2, 1, 1)
+    ipma = _box(b"ipma", b"\x00\x00\x00\x00" + entries)
+    iprp = _box(b"iprp", ipco + (ipma if with_assoc else b""))
+    meta = _box(b"meta", b"\x00\x00\x00\x00"
+                + (pitm if with_assoc else b"") + iprp)
+    return ftyp + meta
+
+
+def test_heif_primary_item_dimensions():
+    from unfurl_spark.functions.media import _sniff, heif_info
+
+    data = _minimal_heif(b"heic", 4032, 3024)
+    assert _sniff(data) == "heif"
+    info = heif_info(data)
+    assert (info["width"], info["height"]) == (4032, 3024)
+    assert info["brand"] == "heic"
+
+
+def test_heif_primary_beats_larger_auxiliary_ispe():
+    """An auxiliary item (e.g. a full-res depth map) larger than the
+    primary must not win: pitm/ipma resolution, not the size fallback."""
+    from unfurl_spark.functions.media import heif_info
+
+    data = _minimal_heif(b"heic", 1280, 960, thumb=(4096, 4096))
+    info = heif_info(data)
+    assert (info["width"], info["height"]) == (1280, 960)
+
+
+def test_avif_sniff_and_dims():
+    from unfurl_spark.functions.media import _sniff, heif_info
+
+    data = _minimal_heif(b"avif", 1920, 1080, thumb=None)
+    assert _sniff(data) == "avif"
+    info = heif_info(data)
+    assert (info["width"], info["height"]) == (1920, 1080)
+
+
+def test_heif_truncated_assoc_falls_back_to_largest_ispe():
+    from unfurl_spark.functions.media import heif_info
+
+    data = _minimal_heif(b"heic", 4032, 3024, with_assoc=False)
+    info = heif_info(data)
+    assert (info["width"], info["height"]) == (4032, 3024)
+
+
+def test_heif_exiftool_arm_reports_dims_exif_arm_bare():
+    from unfurl_spark.functions.media import exif_image, exiftool_image
+
+    data = _minimal_heif(b"heic", 640, 480)
+    et = exiftool_image("https://x.test/a.heic", data)
+    assert (et["width"], et["height"]) == (640.0, 480.0)
+    assert et["encodingFormat"] == "image/heic"
+    # ExifReader 3.x throws on HEIC -> reference's exif arm yields bare image
+    ex = exif_image("https://x.test/a.heic", data, "image/heic")
+    assert ex == {"type": "image", "url": "https://x.test/a.heic"}
+
+
+def test_avif_decode_media_dims(spark):
+    from unfurl_spark.functions.multimodal import decode_media
+
+    df = spark.createDataFrame(
+        [("i1", "image/avif", _minimal_heif(b"avif", 800, 600))],
+        "media_ref string, ctype string, payload binary")
+    row = decode_media(df).collect()[0]
+    assert row.container == "avif"
+    assert (row.width, row.height) == (800, 600)
+    assert row.ok == "codec:unavailable"  # AV1 essence decode is a
+    # flagged boundary; header dims are real

@@ -233,6 +233,32 @@ def _webp_info(data: bytes) -> tuple[int | None, int | None, dict, dict]:
     return width, height, xmp, tags
 
 
+# ISO-BMFF ftyp brands that mark HEIF-family still images (ISO 23008-12
+# Annex B) vs AVIF (AOM AV1 image format spec §4)
+_HEIF_BRANDS = {b"heic", b"heix", b"hevc", b"hevx", b"heim", b"heis",
+                b"hevm", b"hevs", b"mif1", b"msf1"}
+_AVIF_BRANDS = {b"avif", b"avis"}
+
+
+def _classify_ftyp(data: bytes) -> str:
+    """Split the ISO-BMFF family on the ftyp major brand (falling back to
+    the compatible-brand list for generic mif1/msf1 majors): HEIC/AVIF
+    still images get their own container kind; everything else is the
+    mp4/quicktime video family."""
+    size = int.from_bytes(data[:4], "big")
+    major = data[8:12]
+    if major in _AVIF_BRANDS:
+        return "avif"
+    if major in _HEIF_BRANDS:
+        if major in (b"mif1", b"msf1"):
+            compat = data[16:min(size, len(data), 64)]
+            for i in range(0, len(compat) - 3, 4):
+                if compat[i:i + 4] in _AVIF_BRANDS:
+                    return "avif"
+        return "heif"
+    return "mp4"
+
+
 def _sniff(data: bytes) -> str | None:
     if data.startswith(b"\xff\xd8\xff"):
         return "jpeg"
@@ -263,7 +289,7 @@ def _sniff(data: bytes) -> str | None:
             b"<svg" in data[:1024].lower():
         return "svg"
     if len(data) > 12 and data[4:8] == b"ftyp":
-        return "mp4"
+        return _classify_ftyp(data)
     if data[:4] == b"\x1aE\xdf\xa3":
         return "webm"
     if data[:5] == b"%PDF-":
@@ -292,6 +318,10 @@ def _read_image(data: bytes):
             return kind, {}, None, None, {}
         return (kind, tags, tags.get("ImageWidth"),
                 tags.get("ImageHeight"), {})
+    if kind in ("heif", "avif"):
+        info = heif_info(data)
+        return (kind, {"_brand": info.get("brand")},
+                info.get("width"), info.get("height"), {})
     return None, {}, None, None, {}
 
 
@@ -308,8 +338,9 @@ def exif_image(url: str, data: bytes, encoding_format: str) -> dict:
     """unfurl-exif parity (unfurl-exif/src/index.ts:16-47)."""
     data = data[:EXIF_BYTE_CAP]
     kind, tags, width, height, xmp = _read_image(data)
-    if kind is None or kind == "webp":
-        # ExifReader has no WebP support — load() throws → bare image
+    if kind is None or kind in ("webp", "heif", "avif"):
+        # ExifReader 3.x (the reference pins ^3.14.1) has no WebP or
+        # HEIC/AVIF support — load() throws -> bare image
         return {"type": "image", "url": url}
     orientation = tags.get("Orientation")
     return {
@@ -334,7 +365,13 @@ def exif_image(url: str, data: bytes, encoding_format: str) -> dict:
 
 
 _MIMES = {"jpeg": "image/jpeg", "png": "image/png", "webp": "image/webp",
-          "tiff": "image/tiff"}
+          "tiff": "image/tiff", "avif": "image/avif"}
+
+# exiftool derives HEIF MIME from the major brand (QuickTime.pm ftypLookup)
+_HEIF_MIMES = {"heic": "image/heic", "heix": "image/heic",
+               "hevc": "image/heic-sequence",
+               "hevx": "image/heic-sequence",
+               "msf1": "image/heif-sequence"}
 
 
 def exiftool_image(url: str, data: bytes) -> dict:
@@ -348,10 +385,13 @@ def exiftool_image(url: str, data: bytes) -> dict:
         v = width * height / 1e6
         # exiftool Megapixels PrintConv: 1 decimal when >=1, else 3, else 6
         mp = round(v, 1 if v >= 1 else (3 if v >= 0.001 else 6))
+    mime = _MIMES.get(kind)
+    if kind == "heif":
+        mime = _HEIF_MIMES.get(tags.get("_brand"), "image/heif")
     return {
         "type": "image",
         "url": url,
-        "encodingFormat": _MIMES.get(kind),
+        "encodingFormat": mime,
         "dateModified": parse_exif_date(tags.get("ModifyDate")),
         "dateCreated": parse_exif_date(tags.get("DateTimeOriginal"))
         or parse_exif_date(tags.get("CreateDate")),
@@ -565,6 +605,90 @@ def mp4_metadata(data: bytes) -> dict:
                                             * out.get("height", 0)):
                         out["width"], out["height"] = w, h
         break
+    return out
+
+
+def heif_info(data: bytes) -> dict:
+    """HEIF/AVIF still-image header walk (ISO 23008-12): resolve the
+    primary item's pixel dimensions from
+    ftyp -> meta(FullBox) -> {pitm, iprp -> {ipco, ipma}}.
+
+    `ispe` (image spatial extents) properties live as children of `ipco`;
+    `ipma` associates 1-based ipco indexes to item ids; `pitm` names the
+    primary item.  When any link of that chain is missing or truncated
+    (byte-capped header reads), fall back to the largest ispe seen —
+    thumbnails and alpha/depth auxiliaries are smaller than the master
+    image.  Covers exiftool's ImageWidth/ImageHeight for HEIC/AVIF
+    (reference accepts any image/* via exiftool,
+    packages/unfurl-exiftool/src/index.ts:10-20).  Header-only: no HEVC/
+    AV1 essence decode."""
+    out: dict = {}
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return out
+    out["brand"] = data[8:12].decode("latin-1")
+    meta = None
+    for btype, ps, pe in _walk_mp4_boxes(data, 0, len(data)):
+        if btype == b"meta":
+            meta = (ps + 4, pe)  # meta is a FullBox: skip version/flags
+            break
+    if meta is None:
+        return out
+    primary = None
+    ipco_ispe: dict[int, tuple[int, int]] = {}   # 1-based ipco index
+    assoc: dict[int, list[int]] = {}             # item_id -> ipco indexes
+    for btype, ps, pe in _walk_mp4_boxes(data, meta[0], meta[1]):
+        if btype == b"pitm" and pe - ps >= 6:
+            version = data[ps]
+            if version == 0:
+                primary = int.from_bytes(data[ps + 4:ps + 6], "big")
+            elif pe - ps >= 8:
+                primary = int.from_bytes(data[ps + 4:ps + 8], "big")
+        elif btype == b"iprp":
+            for ctype_, cs, ce in _walk_mp4_boxes(data, ps, pe):
+                if ctype_ == b"ipco":
+                    idx = 0
+                    for gtype, gs, ge in _walk_mp4_boxes(data, cs, ce):
+                        idx += 1
+                        if gtype == b"ispe" and ge - gs >= 12:
+                            ipco_ispe[idx] = (
+                                int.from_bytes(data[gs + 4:gs + 8], "big"),
+                                int.from_bytes(data[gs + 8:gs + 12], "big"))
+                elif ctype_ == b"ipma" and ce - cs >= 8:
+                    version, flags = data[cs], data[cs + 3]
+                    n = int.from_bytes(data[cs + 4:cs + 8], "big")
+                    pos = cs + 8
+                    for _ in range(n):
+                        idw = 2 if version == 0 else 4
+                        if pos + idw + 1 > ce:
+                            break
+                        item = int.from_bytes(data[pos:pos + idw], "big")
+                        pos += idw
+                        cnt = data[pos]
+                        pos += 1
+                        props = []
+                        for _ in range(cnt):
+                            if flags & 1:
+                                if pos + 2 > ce:
+                                    break
+                                props.append(int.from_bytes(
+                                    data[pos:pos + 2], "big") & 0x7FFF)
+                                pos += 2
+                            else:
+                                if pos + 1 > ce:
+                                    break
+                                props.append(data[pos] & 0x7F)
+                                pos += 1
+                        assoc[item] = props
+    dims = None
+    if primary is not None and primary in assoc:
+        for prop_idx in assoc[primary]:
+            if prop_idx in ipco_ispe:
+                dims = ipco_ispe[prop_idx]
+                break
+    if dims is None and ipco_ispe:  # truncated chain: largest extent wins
+        dims = max(ipco_ispe.values(), key=lambda wh: wh[0] * wh[1])
+    if dims and dims[0] and dims[1]:
+        out["width"], out["height"] = dims
     return out
 
 

@@ -157,6 +157,10 @@ def _dims_raw(container: str | None, data: bytes):
     if container == "mp4":
         meta = mp4_metadata(data)
         return meta.get("width"), meta.get("height")
+    if container in ("heif", "avif"):
+        from .media import heif_info
+        meta = heif_info(data)
+        return meta.get("width"), meta.get("height")
     if container == "webm":
         meta = mkv_metadata(data)
         return meta.get("width"), meta.get("height")
