@@ -294,6 +294,18 @@ def _sniff(data: bytes) -> str | None:
         return "webm"
     if data[:5] == b"%PDF-":
         return "pdf"
+    # MPEG audio last: the weakest magic.  An ID3v2 prefix is strong; a
+    # bare frame sync must validate version/layer/bitrate/samplerate
+    # fields before we claim it (0xFFF + layer==00 is ADTS AAC instead).
+    if data[:3] == b"ID3" and len(data) >= 10:
+        return "mp3"
+    if len(data) >= 4 and data[0] == 0xFF and data[1] & 0xE0 == 0xE0:
+        if data[1] & 0xF6 == 0xF0:  # ADTS: 12-bit sync + layer bits 00
+            if ((data[2] >> 2) & 0xF) < 13:  # valid sampling freq index
+                return "aac"
+            return None
+        if _mp3_frame_header(data, 0) is not None:
+            return "mp3"
     return None
 
 
@@ -689,6 +701,246 @@ def heif_info(data: bytes) -> dict:
         dims = max(ipco_ispe.values(), key=lambda wh: wh[0] * wh[1])
     if dims and dims[0] and dims[1]:
         out["width"], out["height"] = dims
+    return out
+
+
+# --- MPEG audio (MP3 / ADTS AAC) --------------------------------------------
+# Beyond-reference training-data surface: the reference's exiftool arm
+# routes only pdf/image/video (packages/unfurl-exiftool/src/index.ts:6-23),
+# so audio/* falls through to the link fallback there.  A 100 TB corpus
+# carries podcast/music payloads whose duration/bitrate/tags matter for
+# curation, so the container walk is implemented here (header-only; the
+# essence decode stays a flagged CodecUnavailable boundary).
+
+# bitrate kbps tables, index 1-14 (0=free, 15=bad) — ISO 11172-3 / 13818-3
+_MP3_BITRATES = {
+    # (version_group, layer): V1 = MPEG1, V2 = MPEG2/2.5
+    ("V1", 1): (0, 32, 64, 96, 128, 160, 192, 224,
+                256, 288, 320, 352, 384, 416, 448),
+    ("V1", 2): (0, 32, 48, 56, 64, 80, 96, 112,
+                128, 160, 192, 224, 256, 320, 384),
+    ("V1", 3): (0, 32, 40, 48, 56, 64, 80, 96,
+                112, 128, 160, 192, 224, 256, 320),
+    ("V2", 1): (0, 32, 48, 56, 64, 80, 96, 112,
+                128, 144, 160, 176, 192, 224, 256),
+    ("V2", 2): (0, 8, 16, 24, 32, 40, 48, 56,
+                64, 80, 96, 112, 128, 144, 160),
+    ("V2", 3): (0, 8, 16, 24, 32, 40, 48, 56,
+                64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {3: (44100, 48000, 32000),   # MPEG1
+              2: (22050, 24000, 16000),   # MPEG2
+              0: (11025, 12000, 8000)}    # MPEG2.5
+
+
+def _mp3_frame_header(data: bytes, pos: int):
+    """Validate + decode one MPEG audio frame header at ``pos``.  Returns
+    (frame_bytes, bitrate_kbps, sample_rate, channels, samples_per_frame,
+    version_bits, layer_no) or None."""
+    if pos + 4 > len(data) or data[pos] != 0xFF             or data[pos + 1] & 0xE0 != 0xE0:
+        return None
+    version = (data[pos + 1] >> 3) & 0x3     # 0=2.5 1=resv 2=MPEG2 3=MPEG1
+    layer_bits = (data[pos + 1] >> 1) & 0x3  # 3=L1 2=L2 1=L3 0=resv
+    if version == 1 or layer_bits == 0:
+        return None
+    layer = 4 - layer_bits                   # 1/2/3
+    br_idx = (data[pos + 2] >> 4) & 0xF
+    sr_idx = (data[pos + 2] >> 2) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    group = "V1" if version == 3 else "V2"
+    bitrate = _MP3_BITRATES[(group, layer)][br_idx]
+    rate = _MP3_RATES[version][sr_idx]
+    padding = (data[pos + 2] >> 1) & 1
+    channels = 1 if (data[pos + 3] >> 6) & 0x3 == 3 else 2
+    if layer == 1:
+        spf = 384
+        frame = (12 * bitrate * 1000 // rate + padding) * 4
+    else:
+        spf = 1152 if (layer == 2 or version == 3) else 576
+        frame = spf // 8 * bitrate * 1000 // rate + padding
+    if frame < 4:
+        return None
+    return frame, bitrate, rate, channels, spf, version, layer
+
+
+def _syncsafe(raw: bytes) -> int:
+    v = 0
+    for b in raw:
+        v = (v << 7) | (b & 0x7F)
+    return v
+
+
+def _id3_text(body: bytes) -> str | None:
+    """Decode one ID3v2 text frame body (leading encoding byte)."""
+    if not body:
+        return None
+    enc, payload = body[0], body[1:]
+    try:
+        if enc == 0:
+            text = payload.decode("latin-1", "replace")
+        elif enc == 1:
+            text = payload.decode("utf-16", "replace")
+        elif enc == 2:
+            text = payload.decode("utf-16-be", "replace")
+        else:
+            text = payload.decode("utf-8", "replace")
+    except Exception:
+        return None
+    text = text.split("\x00", 1)[0].strip()
+    return text or None
+
+
+# v2.3/2.4 ids and their v2.2 3-char twins
+_ID3_FRAMES = {b"TIT2": "title", b"TT2": "title",
+               b"TPE1": "artist", b"TP1": "artist",
+               b"TALB": "album", b"TAL": "album",
+               b"TDRC": "date", b"TYER": "date", b"TYE": "date"}
+
+
+def _parse_id3v2(data: bytes) -> tuple[dict, int]:
+    """Returns (tags, total_id3_size incl. header).  Supports v2.2-v2.4."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return {}, 0
+    major = data[3]
+    size = _syncsafe(data[6:10]) + 10
+    if data[5] & 0x10:  # footer present (v2.4)
+        size += 10
+    tags: dict = {}
+    pos = 10
+    if data[5] & 0x40 and major >= 3:  # extended header
+        if pos + 4 > len(data):
+            return tags, size
+        ext = (_syncsafe(data[pos:pos + 4]) if major == 4
+               else int.from_bytes(data[pos:pos + 4], "big") + 4)
+        pos += ext
+    end = min(size, len(data))
+    idw, szw = (3, 3) if major == 2 else (4, 4)
+    while pos + idw + szw <= end:
+        fid = data[pos:pos + idw]
+        if fid.strip(b"\x00") == b"":
+            break  # padding
+        raw_sz = data[pos + idw:pos + idw + szw]
+        if major == 4:
+            fsz = _syncsafe(raw_sz)
+        else:
+            fsz = int.from_bytes(raw_sz, "big")
+        pos += idw + szw + (0 if major == 2 else 2)  # v2.3+: 2 flag bytes
+        if fsz <= 0 or pos + fsz > end:
+            break
+        key = _ID3_FRAMES.get(fid)
+        if key and key not in tags:
+            val = _id3_text(data[pos:pos + fsz])
+            if val:
+                tags[key] = val
+        pos += fsz
+    return tags, size
+
+
+def mp3_metadata(data: bytes, total_bytes: int | None = None) -> dict:
+    """MP3 container metadata: ID3v2 tags, first-frame audio params, and
+    duration — exact from a Xing/Info VBR header when present, else
+    CBR-estimated from the stream size (``total_bytes`` lets a byte-capped
+    header read pass the true payload length).  Header-only, stdlib."""
+    out: dict = {}
+    tags, id3_size = _parse_id3v2(data)
+    out.update(tags)
+    # resync to the first valid frame (some encoders pad after ID3)
+    pos, hdr = id3_size, None
+    limit = min(len(data), id3_size + 65536)
+    while pos + 4 <= limit:
+        hdr = _mp3_frame_header(data, pos)
+        if hdr is not None:
+            break
+        pos += 1
+        hdr = None
+    if hdr is None:
+        if len(data) >= 128 and data[-128:-125] == b"TAG":
+            _id3v1(data, out)
+        return out
+    frame, bitrate, rate, channels, spf, version, layer = hdr
+    out["sample_rate"] = rate
+    out["channels"] = channels
+    out["layer"] = layer
+    frames = None
+    # Xing/Info header sits after the side info of the first frame
+    side = (17 if channels == 1 else 32) if version == 3         else (9 if channels == 1 else 17)
+    xing_at = pos + 4 + side
+    tag4 = data[xing_at:xing_at + 4]
+    if tag4 in (b"Xing", b"Info") and xing_at + 12 <= len(data):
+        flags = int.from_bytes(data[xing_at + 4:xing_at + 8], "big")
+        if flags & 1:
+            frames = int.from_bytes(data[xing_at + 8:xing_at + 12], "big")
+        out["vbr"] = tag4 == b"Xing"
+    stream_bytes = (total_bytes if total_bytes is not None
+                    else len(data)) - id3_size
+    if frames:
+        out["duration_s"] = round(frames * spf / rate, 3)
+        if out["duration_s"]:
+            out["bitrate_kbps"] = round(
+                stream_bytes * 8 / out["duration_s"] / 1000)
+    else:
+        out["bitrate_kbps"] = bitrate
+        out["vbr"] = False
+        if bitrate:
+            out["duration_s"] = round(stream_bytes * 8
+                                      / (bitrate * 1000), 3)
+    if len(data) >= 128 and data[-128:-125] == b"TAG":
+        _id3v1(data, out)
+    return out
+
+
+def _id3v1(data: bytes, out: dict) -> None:
+    """Fill tag fields from a trailing ID3v1 block without overriding v2."""
+    blk = data[-128:]
+    for key, lo, hi in (("title", 3, 33), ("artist", 33, 63),
+                        ("album", 63, 93), ("date", 93, 97)):
+        if key not in out:
+            val = blk[lo:hi].split(b"\x00", 1)[0]                 .decode("latin-1", "replace").strip()
+            if val:
+                out[key] = val
+
+
+_ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000,
+               22050, 16000, 12000, 11025, 8000, 7350)
+_AAC_PROFILES = ("AAC Main", "AAC LC", "AAC SSR", "AAC LTP")
+
+
+def aac_metadata(data: bytes, total_bytes: int | None = None) -> dict:
+    """ADTS AAC metadata: profile/rate/channels from the first header,
+    duration by walking frame_length fields across the available bytes
+    (1024 samples per frame) and extrapolating capped payloads by the
+    mean observed frame size."""
+    out: dict = {}
+    if len(data) < 7 or data[0] != 0xFF or data[1] & 0xF6 != 0xF0:
+        return out
+    sr_idx = (data[2] >> 2) & 0xF
+    if sr_idx >= len(_ADTS_RATES):
+        return out
+    rate = _ADTS_RATES[sr_idx]
+    out["sample_rate"] = rate
+    out["profile"] = _AAC_PROFILES[(data[2] >> 6) & 0x3]
+    ch = ((data[2] & 1) << 2) | ((data[3] >> 6) & 0x3)
+    out["channels"] = ch or None
+    pos = frames = scanned = 0
+    while pos + 7 <= len(data) and frames < 1 << 20:
+        if data[pos] != 0xFF or data[pos + 1] & 0xF6 != 0xF0:
+            break
+        flen = ((data[pos + 3] & 0x3) << 11)             | (data[pos + 4] << 3) | (data[pos + 5] >> 5)
+        if flen < 7:
+            break
+        frames += 1
+        scanned += flen
+        pos += flen
+    if frames:
+        total = total_bytes if total_bytes is not None else len(data)
+        est_frames = frames
+        if total > scanned and scanned:
+            est_frames = round(total / (scanned / frames))
+        out["duration_s"] = round(est_frames * 1024 / rate, 3)
+        if out["duration_s"]:
+            out["bitrate_kbps"] = round(
+                (total_bytes or len(data)) * 8 / out["duration_s"] / 1000)
     return out
 
 

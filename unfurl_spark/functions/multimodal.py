@@ -65,6 +65,10 @@ RESIZE_SCHEMA = ("media_ref string, width int, height int, "
                  "payload binary, ok string")
 FRAME_SCHEMA = ("media_ref string, frame_index int, frame_ts_ms long, "
                 "payload binary, ok string")
+AUDIO_SCHEMA = ("media_ref string, container string, sample_rate int, "
+                "channels int, duration_s double, bitrate_kbps int, "
+                "title string, artist string, album string, "
+                "n_bytes long, ok string")
 
 
 _DECODERS = {
@@ -248,6 +252,91 @@ def decode_media(df: DataFrame,
                        "n_bytes", "ok"])
 
     return _salted(capped, num_partitions).mapInArrow(run, DECODE_SCHEMA)
+
+
+def audio_metadata(df: DataFrame,
+                   num_partitions: int | None = None) -> DataFrame:
+    """(media_ref, ctype, payload) → audio container metadata.
+
+    Header-only container walks over the capped prefix: MP3 (ID3v2/v1
+    tags, Xing/Info VBR or CBR duration), ADTS AAC (profile/rate/
+    channels, frame-walk duration), and the PCM containers' sample rate/
+    channels (WAV/FLAC/AIFF STREAMINFO-level reads via the full decoder
+    only when the payload fits the cap).  The true payload length rides
+    along so byte-capped MP3/AAC reads still estimate duration over the
+    FULL stream.  Same salting + Arrow-batch shape as decode_media —
+    no per-row Python."""
+    capped = df.select(
+        "media_ref",
+        F.substring("payload", 1, HEADER_BYTE_CAP).alias("head"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+        from .media import aac_metadata, mp3_metadata
+        for batch in batches:
+            refs = batch.column(0).to_pylist()
+            heads = batch.column(1).to_pylist()
+            sizes = batch.column(2).to_pylist()
+            cols = {k: [] for k in ("container", "sample_rate", "channels",
+                                    "duration_s", "bitrate_kbps", "title",
+                                    "artist", "album", "ok")}
+            for ref, head, n in zip(refs, heads, sizes):
+                data = head or b""
+                c = _sniff(data)
+                meta: dict = {}
+                ok = "ok"
+                try:
+                    if c == "mp3":
+                        meta = mp3_metadata(data, total_bytes=n)
+                        if "sample_rate" not in meta:
+                            ok = "err:no-frame-sync"
+                    elif c == "aac":
+                        meta = aac_metadata(data, total_bytes=n)
+                        if "sample_rate" not in meta:
+                            ok = "err:bad-adts"
+                    elif c in ("wav", "flac", "aiff"):
+                        if (n or 0) > len(data):
+                            ok = "capped:header-only"
+                        else:
+                            rate, samples = decode_pixels(data, c)
+                            meta = {"sample_rate": int(rate),
+                                    "channels": int(samples.shape[1]),
+                                    "duration_s": round(
+                                        samples.shape[0] / rate, 3)}
+                    else:
+                        ok = "err:not-audio"
+                except CodecUnavailable:
+                    ok = "codec:unavailable"
+                except Exception as exc:
+                    ok = f"err:{type(exc).__name__}"
+                cols["container"].append(c)
+                cols["sample_rate"].append(meta.get("sample_rate"))
+                cols["channels"].append(meta.get("channels"))
+                cols["duration_s"].append(meta.get("duration_s"))
+                cols["bitrate_kbps"].append(meta.get("bitrate_kbps"))
+                cols["title"].append(meta.get("title"))
+                cols["artist"].append(meta.get("artist"))
+                cols["album"].append(meta.get("album"))
+                cols["ok"].append(ok)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(refs, pa.string()),
+                 pa.array(cols["container"], pa.string()),
+                 pa.array(cols["sample_rate"], pa.int32()),
+                 pa.array(cols["channels"], pa.int32()),
+                 pa.array(cols["duration_s"], pa.float64()),
+                 pa.array(cols["bitrate_kbps"], pa.int32()),
+                 pa.array(cols["title"], pa.string()),
+                 pa.array(cols["artist"], pa.string()),
+                 pa.array(cols["album"], pa.string()),
+                 pa.array(sizes, pa.int64()),
+                 pa.array(cols["ok"], pa.string())],
+                names=["media_ref", "container", "sample_rate", "channels",
+                       "duration_s", "bitrate_kbps", "title", "artist",
+                       "album", "n_bytes", "ok"])
+
+    return _salted(capped, num_partitions).mapInArrow(run, AUDIO_SCHEMA)
 
 
 def extract_features(df: DataFrame, dim: int = 64,
