@@ -116,6 +116,11 @@ def _expand_iri(ctx: Context, value: str, vocab_mode: bool,
         return value
     if resolve_term and value in ctx.terms:
         tid = ctx.terms[value].get("@id")
+        if not isinstance(tid, str):
+            # reverse term defs carry @reverse instead of @id; expanding
+            # the key to the reverse property keeps it from being
+            # dropped — expand_node routes it via the term def
+            tid = ctx.terms[value].get("@reverse")
         if isinstance(tid, str):
             if tid in KEYWORDS:
                 return tid
@@ -228,11 +233,45 @@ def expand_node(ctx: Context, element: object, store: dict | None,
             else:
                 return items
             continue
-        if ekey in ("@reverse", "@index", "@container"):
+        if ekey == "@reverse":
+            # JSON-LD 1.0 §8.1 expansion of the @reverse map: each
+            # property expands vocab-mode; only node objects survive
+            # (value/list objects under @reverse are dropped, lenient
+            # where the spec errors)
+            if isinstance(value, dict):
+                rmap = node.setdefault("@reverse", {})
+                for rkey, rval in value.items():
+                    rprop = _expand_iri(ctx, rkey, True)
+                    if rprop is None or rprop.startswith("@"):
+                        continue
+                    ex = expand_node(ctx, rval, store, _term_def(ctx, rkey))
+                    items = ex if isinstance(ex, list) else                         [ex] if ex is not None else []
+                    nodes = [n for n in items if isinstance(n, dict)
+                             and "@value" not in n and "@list" not in n]
+                    if nodes:
+                        rmap.setdefault(rprop, []).extend(nodes)
+                if not rmap:
+                    node.pop("@reverse", None)
+            continue
+        if ekey in ("@index", "@container"):
             continue
         if ekey.startswith("@") and ekey in KEYWORDS:
             continue
         tdef = _term_def(ctx, key)
+        if "@reverse" in tdef:
+            # reverse term definition ({"children": {"@reverse": "p"}}):
+            # values attach under the node's @reverse map for property p
+            rprop = tdef["@reverse"]
+            rprop = _expand_iri(ctx, rprop, True) if isinstance(
+                rprop, str) else None
+            if rprop and not rprop.startswith("@"):
+                ex = expand_node(ctx, value, store, tdef)
+                items = ex if isinstance(ex, list) else                     [ex] if ex is not None else []
+                nodes = [n for n in items if isinstance(n, dict)
+                         and "@value" not in n and "@list" not in n]
+                if nodes:
+                    node.setdefault("@reverse", {})                         .setdefault(rprop, []).extend(nodes)
+            continue
         container = tdef.get("@container")
         if container == "@language" and isinstance(value, dict):
             vals = []
