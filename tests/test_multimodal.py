@@ -39,8 +39,18 @@ def mixed(spark):
     img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
     flat = (rng.integers(0, 4, (24, 32, 3)) * 80).astype(np.uint8)
     wav = encode_wav(8000, rng.integers(-2000, 2000, 500).astype(np.int16))
-    webp = b"RIFF" + b"\x00" * 4 + b"WEBPVP8 " + b"\x00" * 40
+    # a real (from-scratch encoded) lossy WebP keyframe: 2x2 MBs, DC mode
+    from unfurl_spark.functions.vp8 import encode_vp8, wrap_webp
+    mb = {"ymode": 0, "uvmode": 0, "bmodes": [0] * 16, "y2": [0] * 16,
+          "y": [[0] * 16 for _ in range(16)],
+          "u": [[0] * 16 for _ in range(4)],
+          "v": [[0] * 16 for _ in range(4)]}
+    webp = wrap_webp(encode_vp8(2, 2, [mb, mb, mb, mb], qi=40))
+    # an ISO-BMFF video: container metadata reads, essence needs ffmpeg
+    m4v = (b"\x00\x00\x00\x10ftypisom" + b"\x00" * 4
+           + b"\x00\x00\x00\x08free")
     rows = [
+        Row(media_ref="a.m4v", ctype="video/mp4", payload=m4v),
         Row(media_ref="a.png", ctype="image/png", payload=encode_png(img)),
         Row(media_ref="a.jpg", ctype="image/jpeg",
             payload=encode_jpeg(img, quality=90)),
@@ -86,7 +96,9 @@ def test_decode_media_mixed_containers(spark, mixed):
         assert got[ref]["ok"] == "ok", (ref, got[ref]["ok"])
         assert (got[ref]["width"], got[ref]["height"]) == (32, 24), ref
     assert got["a.wav"]["ok"] == "ok"
-    assert got["a.webp"]["ok"] == "codec:unavailable"
+    assert got["a.webp"]["ok"] == "ok"          # VP8 lossy decodes for real
+    assert (got["a.webp"]["width"], got["a.webp"]["height"]) == (32, 32)
+    assert got["a.m4v"]["ok"] == "codec:unavailable"
     assert got["bad.png"]["ok"].startswith("err:")
 
 
@@ -273,9 +285,10 @@ def test_resize_gray_alpha_png_emits_rgb24(spark):
 def test_null_media_ref_fallback_rows_survive(spark):
     """NULL media_ref + undecodable payload reaches the _fake_pixels
     fallback — it must emit a stub row, not AttributeError the task."""
-    webp = b"RIFF" + b"\x00" * 4 + b"WEBPVP8 " + b"\x00" * 40
+    webp = (b"\x00\x00\x00\x10ftypisom" + b"\x00" * 4
+            + b"\x00\x00\x00\x08free")  # undecodable essence (mp4)
     df = spark.createDataFrame(
-        [(None, "image/webp", webp)],
+        [(None, "video/mp4", webp)],
         "media_ref string, ctype string, payload binary")
     r1 = resize_images(df, width=4, height=4, num_partitions=1).collect()
     assert len(r1) == 1 and r1[0].ok == "codec:unavailable"
@@ -291,14 +304,15 @@ def test_extract_features_flags_fallback(spark, mixed):
     got = {r["media_ref"]: r for r in extract_features(mixed, dim=16).collect()}
     for ref in ("a.png", "a.jpg", "a.gif", "a.bmp", "a.ppm", "a.wav"):
         assert got[ref]["ok"] == "ok", (ref, got[ref]["ok"])
-    assert got["a.webp"]["ok"] == "codec:unavailable"
+    assert got["a.webp"]["ok"] == "ok"
+    assert got["a.m4v"]["ok"] == "codec:unavailable"
     assert got["bad.png"]["ok"].startswith("err:")
     # fallback vectors are still total + unit-norm (column never NULL)
     for r in got.values():
         assert abs(sum(x * x for x in r["embedding"]) - 1.0) < 1e-4
     # the filter a dedup pipeline runs
     real = extract_features(mixed, dim=16).filter("ok = 'ok'").count()
-    assert real == 6
+    assert real == 7  # webp now decodes; only m4v/bad.png fall back
 
 
 def test_extract_features_zero_sample_wav_no_nan(spark):

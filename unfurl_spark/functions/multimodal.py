@@ -77,7 +77,7 @@ _DECODERS = {
     "gif": decode_gif,
     "bmp": decode_bmp,
     "ppm": decode_ppm,
-    "webp": decode_webp,  # VP8L real; VP8 lossy → CodecUnavailable
+    "webp": decode_webp,  # VP8L and VP8 lossy both decode for real
     "ico": decode_ico,    # PNG-in-ICO and classic DIB+mask entries
     "tiff": decode_tiff,  # baseline strips: none/LZW/PackBits
 }
@@ -85,11 +85,13 @@ _DECODERS = {
 
 def decode_pixels(payload: bytes, container: str):
     """Decode a payload to pixels (images → HxWxC uint8 ndarray) or
-    samples (wav → (rate, int16[n, ch])).  Pure stdlib+numpy codecs;
-    containers needing an external codec (WebP VP8 lossy, MP4/H.264,
-    WebM, MP3/AAC) raise ``CodecUnavailable`` — the explicit boundary a
-    real deployment closes by plugging Pillow/ffmpeg into
-    ``_DECODERS``.  WebP lossless (VP8L) decodes for real."""
+    samples (wav → (rate, int16[n, ch])).  Pure stdlib+numpy codecs,
+    including BOTH WebP flavors (VP8L lossless and the RFC 6386 VP8
+    intra decoder for lossy); containers needing an external essence
+    codec (MP4/H.264, WebM/VP9, MP3/AAC, HEIC/AVIF) raise
+    ``CodecUnavailable`` — the explicit boundary a real deployment
+    closes by plugging ffmpeg into ``_DECODERS`` (or
+    ``vp8sys.enable_native_webp()`` for a faster WebP path)."""
     dec = _DECODERS.get(container)
     if dec is not None:
         return dec(payload)

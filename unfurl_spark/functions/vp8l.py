@@ -14,8 +14,9 @@ COLOR_INDEXING transforms, optional color cache, and an RLE LZ77 mode
 path.  The PREDICTOR/COLOR inverse transforms are pinned by tests that
 forward-apply the spec's definitions independently.
 
-VP8 (lossy) essence remains a ``CodecUnavailable`` boundary — it is a
-full video-intra codec, out of scope here.
+VP8 (lossy) essence decodes for real too, via the from-scratch
+RFC 6386 intra-frame decoder in ``vp8.py`` (bit-exact against libwebp's
+own reconstruction in tests/test_vp8.py).
 
 The reference reads only WebP container headers
 (packages/unfurl-exif/src/index.ts:16-47 via ExifReader); pixel decode
@@ -438,7 +439,8 @@ def decode_webp(data: bytes) -> np.ndarray:
         if fourcc == b"VP8L":
             return decode_vp8l(chunk)
         if fourcc == b"VP8 ":
-            raise CodecUnavailable("webp: VP8 lossy essence")
+            from .vp8 import decode_vp8
+            return decode_vp8(chunk)
         i += 8 + size + (size & 1)
     raise CodecError("webp: no image chunk")
 
