@@ -221,3 +221,56 @@ def test_avif_decode_media_dims(spark):
     assert (row.width, row.height) == (800, 600)
     assert row.ok == "codec:unavailable"  # AV1 essence decode is a
     # flagged boundary; header dims are real
+
+
+def test_heif_exif_item_camera_tags():
+    """HEIC Exif item (iinf 'Exif' + iloc extent) feeds the exiftool
+    arm's camera fields — matching exiftool's HEIC support."""
+    import struct
+
+    from unfurl_spark.functions.media import exiftool_image, heif_info
+
+    # TIFF blob with Make/Model in IFD0 (values inline / offset)
+    def tiff_with_make_model():
+        make, model = b"ACME\x00\x00\x00\x00", b"Cam-1\x00\x00\x00"
+        hdr = b"II*\x00" + struct.pack("<I", 8)
+        n = struct.pack("<H", 2)
+        e1 = struct.pack("<HHI4s", 0x010F, 2, 5, b"ACME")  # fits inline? 5>4
+        # use offsets: entries end at 8+2+24+4 = 38
+        e1 = struct.pack("<HHII", 0x010F, 2, 5, 38)
+        e2 = struct.pack("<HHII", 0x0110, 2, 6, 46)
+        return hdr + n + e1 + e2 + struct.pack("<I", 0) \
+            + b"ACME\x00\x00\x00\x00" + b"Cam-1\x00\x00\x00"
+
+    tiff = tiff_with_make_model()
+    ftyp = _box(b"ftyp", b"heic" + struct.pack(">I", 0) + b"heic")
+    ispe = _box(b"ispe", b"\x00\x00\x00\x00" + struct.pack(">II", 64, 48))
+    ipco = _box(b"ipco", ispe)
+    pitm = _box(b"pitm", b"\x00\x00\x00\x00" + struct.pack(">H", 1))
+    ipma = _box(b"ipma", b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+                + struct.pack(">HBB", 1, 1, 1))
+    iprp = _box(b"iprp", ipco + ipma)
+    infe = _box(b"infe", b"\x02\x00\x00\x00" + struct.pack(">HH", 2, 0)
+                + b"Exif\x00\x00")
+    iinf = _box(b"iinf", b"\x00\x00\x00\x00" + struct.pack(">H", 1) + infe)
+    # exif payload goes after everything; compute its absolute offset
+    exif_payload = struct.pack(">I", 0) + tiff  # 4-byte tiff-header offset
+    # iloc v0: sizes 4/4, base 0 -> offset_size=4 length_size=4 base=0
+    # build meta with a placeholder iloc then fix offset
+    def build(exif_off):
+        iloc = _box(b"iloc", b"\x00\x00\x00\x00" + bytes([0x44, 0x00])
+                    + struct.pack(">H", 1) + struct.pack(">H", 2)
+                    + struct.pack(">H", 0) + struct.pack(">H", 1)
+                    + struct.pack(">II", exif_off, len(exif_payload)))
+        meta = _box(b"meta", b"\x00\x00\x00\x00" + pitm + iinf + iloc + iprp)
+        return ftyp + meta
+    base = build(0)
+    data = build(len(base)) + exif_payload
+    info = heif_info(data)
+    assert (info["width"], info["height"]) == (64, 48)
+    assert info["exif"]["Make"] == "ACME"
+    assert info["exif"]["Model"] == "Cam-1"
+    et = exiftool_image("https://x.test/c.heic", data)
+    assert et["camera"]["make"] == "ACME"
+    assert et["camera"]["model"] == "Cam-1"
+    assert (et["width"], et["height"]) == (64.0, 48.0)

@@ -332,8 +332,9 @@ def _read_image(data: bytes):
                 tags.get("ImageHeight"), {})
     if kind in ("heif", "avif"):
         info = heif_info(data)
-        return (kind, {"_brand": info.get("brand")},
-                info.get("width"), info.get("height"), {})
+        tags = dict(info.get("exif") or {})
+        tags["_brand"] = info.get("brand")
+        return (kind, tags, info.get("width"), info.get("height"), {})
     return None, {}, None, None, {}
 
 
@@ -620,6 +621,78 @@ def mp4_metadata(data: bytes) -> dict:
     return out
 
 
+def _heif_exif_blob(data: bytes, meta_start: int, meta_end: int):
+    """Locate the Exif item payload inside a HEIF meta box: iinf names
+    the item of type 'Exif'; iloc gives its (offset, length) extents
+    (construction method 0 = absolute file offsets).  Returns the TIFF
+    blob (after the 4-byte exif_tiff_header_offset prefix) or None."""
+    exif_item = None
+    for btype, ps, pe in _walk_mp4_boxes(data, meta_start, meta_end):
+        if btype != b"iinf" or pe - ps < 6:
+            continue
+        version = data[ps]
+        pos = ps + 4 + (2 if version == 0 else 4)
+        for itype, is_, ie in _walk_mp4_boxes(data, pos, pe):
+            if itype != b"infe" or ie - is_ < 8:
+                continue
+            iv = data[is_]
+            if iv >= 2 and data[is_ + 8:is_ + 12] == b"Exif":
+                exif_item = int.from_bytes(data[is_ + 4:is_ + 6], "big")                     if iv == 2 else int.from_bytes(
+                        data[is_ + 4:is_ + 8], "big")
+                break
+        break
+    if exif_item is None:
+        return None
+    for btype, ps, pe in _walk_mp4_boxes(data, meta_start, meta_end):
+        if btype != b"iloc" or pe - ps < 8:
+            continue
+        version = data[ps]
+        b1, b2 = data[ps + 4], data[ps + 5]
+        offset_size, length_size = b1 >> 4, b1 & 0xF
+        base_size = b2 >> 4
+        index_size = (b2 & 0xF) if version in (1, 2) else 0
+        pos = ps + 6
+        if version < 2:
+            count = int.from_bytes(data[pos:pos + 2], "big")
+            pos += 2
+        else:
+            count = int.from_bytes(data[pos:pos + 4], "big")
+            pos += 4
+        for _ in range(count):
+            if version < 2:
+                item_id = int.from_bytes(data[pos:pos + 2], "big")
+                pos += 2
+            else:
+                item_id = int.from_bytes(data[pos:pos + 4], "big")
+                pos += 4
+            method = 0
+            if version in (1, 2):
+                method = int.from_bytes(data[pos:pos + 2], "big") & 0xF
+                pos += 2
+            pos += 2  # data_reference_index
+            base = int.from_bytes(data[pos:pos + base_size], "big")
+            pos += base_size
+            extent_count = int.from_bytes(data[pos:pos + 2], "big")
+            pos += 2
+            for _ in range(extent_count):
+                pos += index_size
+                off = int.from_bytes(data[pos:pos + offset_size], "big")
+                pos += offset_size
+                ln = int.from_bytes(data[pos:pos + length_size], "big")
+                pos += length_size
+                if item_id == exif_item and method == 0:
+                    start = base + off
+                    if start + 4 <= len(data):
+                        skip = int.from_bytes(data[start:start + 4],
+                                              "big")
+                        blob = data[start + 4 + skip:start + ln]
+                        if blob[:4] in (b"II*\x00", b"MM\x00*"):
+                            return blob
+                    return None
+        break
+    return None
+
+
 def heif_info(data: bytes) -> dict:
     """HEIF/AVIF still-image header walk (ISO 23008-12): resolve the
     primary item's pixel dimensions from
@@ -701,6 +774,12 @@ def heif_info(data: bytes) -> dict:
         dims = max(ipco_ispe.values(), key=lambda wh: wh[0] * wh[1])
     if dims and dims[0] and dims[1]:
         out["width"], out["height"] = dims
+    blob = _heif_exif_blob(data, meta[0], meta[1])
+    if blob:
+        try:
+            out["exif"] = _parse_tiff(blob)
+        except Exception:
+            pass
     return out
 
 
