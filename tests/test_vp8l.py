@@ -344,3 +344,36 @@ def test_spark_decode_media_vp8l(spark):
     thumbs = {r["media_ref"]: r
               for r in resize_images(df, 8, 8).collect()}
     assert thumbs["l.webp"]["ok"] == "ok"
+
+
+def test_webp_animation_roundtrip():
+    """ANMF compositing: full-canvas frames round-trip with timestamps."""
+    from unfurl_spark.functions.vp8l import (
+        decode_webp_frames,
+        encode_webp_anim,
+    )
+    rng = np.random.default_rng(2)
+    frames = [rng.integers(0, 256, (10, 14, 4), dtype=np.uint8)
+              for _ in range(4)]
+    data = encode_webp_anim(frames, [40, 60, 80, 100])
+    got = decode_webp_frames(data)
+    assert [t for _, t in got] == [0, 40, 100, 180]
+    for (g, _), f in zip(got, frames):
+        assert np.array_equal(g, f)
+    assert len(decode_webp_frames(data, max_frames=2)) == 2
+
+
+def test_webp_anim_sample_frames(spark):
+    from pyspark.sql import Row
+    from unfurl_spark.functions.multimodal import sample_frames
+    from unfurl_spark.functions.vp8l import encode_webp_anim
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+              for _ in range(6)]
+    data = encode_webp_anim(frames, [50] * 6)
+    df = spark.createDataFrame(
+        [Row(media_ref="anim.webp", ctype="image/webp", payload=data)])
+    rows = sample_frames(df, n_frames=3).collect()
+    assert len(rows) == 3
+    assert all(r.ok == "ok" for r in rows)
+    assert [r.frame_ts_ms for r in rows] == [0, 100, 200]

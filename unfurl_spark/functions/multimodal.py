@@ -506,6 +506,17 @@ def sample_frames(df: DataFrame, n_frames: int = 4,
                                 for j in picks]
                     except (CodecError, CodecUnavailable):
                         real = None
+                elif kind == "webp" and b"ANMF" in data[:8192]:
+                    try:
+                        from .vp8l import decode_webp_frames
+                        decoded = decode_webp_frames(data, max_frames=256)
+                        picks = [min(len(decoded) - 1,
+                                     i * len(decoded) // n_frames)
+                                 for i in range(n_frames)]
+                        real = [(decoded[j][1], decoded[j][0].tobytes())
+                                for j in picks]
+                    except (CodecError, CodecUnavailable):
+                        real = None
                 elif kind == "png" and b"acTL" in data[:8192]:
                     # APNG: frames carry their own timestamps
                     try:

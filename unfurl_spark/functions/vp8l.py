@@ -842,3 +842,133 @@ def _encode_literal_image(bw: _BitsW, argb: np.ndarray,
         else:
             c, ln = gt[280 + v]
             _write_code(bw, c, ln)
+
+
+def decode_webp_frames(data: bytes, max_frames: int | None = None
+                       ) -> list[tuple[np.ndarray, int]]:
+    """Animated WebP (VP8X + ANIM/ANMF) → [(RGBA canvas snapshot,
+    ts_ms)].  Frame compositing follows the container spec: sub-frames
+    placed at (2*x, 2*y), blend none/alpha-over, dispose none/background.
+    A still WebP yields its single frame at ts 0.  Both essence flavors
+    decode for real (VP8L here, VP8 via the RFC 6386 decoder)."""
+    if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise CodecError("webp: bad container")
+    canvas_w = canvas_h = None
+    frames = []       # (x, y, dur_ms, blend, dispose, essence bytes)
+    i, n = 12, len(data)
+    still = None
+    while i + 8 <= n:
+        fourcc = data[i:i + 4]
+        size = struct.unpack_from("<I", data, i + 4)[0]
+        chunk = data[i + 8:i + 8 + size]
+        if fourcc == b"VP8X" and len(chunk) >= 10:
+            canvas_w = 1 + int.from_bytes(chunk[4:7], "little")
+            canvas_h = 1 + int.from_bytes(chunk[7:10], "little")
+        elif fourcc == b"ANMF" and len(chunk) >= 16:
+            fx = 2 * int.from_bytes(chunk[0:3], "little")
+            fy = 2 * int.from_bytes(chunk[3:6], "little")
+            dur = int.from_bytes(chunk[12:15], "little")
+            flags = chunk[15]
+            frames.append((fx, fy, dur, flags & 2, flags & 1, chunk[16:]))
+        elif fourcc in (b"VP8 ", b"VP8L") and still is None:
+            still = chunk if fourcc == b"VP8L" else None
+            if fourcc == b"VP8 ":
+                from .vp8 import decode_vp8
+                still = ("vp8", chunk)
+            else:
+                still = ("vp8l", chunk)
+        i += 8 + size + (size & 1)
+
+    def essence_rgba(payload: bytes) -> np.ndarray:
+        """First image chunk inside an ANMF body (ALPH skipped for VP8
+        — lossy alpha stays a flagged boundary, frame decodes opaque)."""
+        j = 0
+        while j + 8 <= len(payload):
+            tag = payload[j:j + 4]
+            sz = struct.unpack_from("<I", payload, j + 4)[0]
+            body = payload[j + 8:j + 8 + sz]
+            if tag == b"VP8L":
+                return _rgba(decode_vp8l(body))
+            if tag == b"VP8 ":
+                from .vp8 import decode_vp8
+                return _rgba(decode_vp8(body))
+            j += 8 + sz + (sz & 1)
+        raise CodecError("webp: ANMF without image chunk")
+
+    if not frames:
+        if still is None:
+            raise CodecError("webp: no image chunk")
+        kind, chunk = still
+        px = decode_vp8l(chunk) if kind == "vp8l" else None
+        if px is None:
+            from .vp8 import decode_vp8
+            px = decode_vp8(chunk)
+        return [(_rgba(px), 0)]
+
+    if canvas_w is None:
+        raise CodecError("webp: ANMF without VP8X canvas")
+    _check_dims(canvas_w, canvas_h, "webp")
+    canvas = np.zeros((canvas_h, canvas_w, 4), np.uint8)
+    out: list[tuple[np.ndarray, int]] = []
+    ts = 0
+    for fx, fy, dur, no_blend, dispose_bg, payload in frames:
+        region = essence_rgba(payload)
+        fh, fw = region.shape[:2]
+        if fx + fw > canvas_w or fy + fh > canvas_h:
+            raise CodecError("webp: frame outside canvas")
+        target = canvas[fy:fy + fh, fx:fx + fw]
+        if no_blend:
+            target[:] = region
+        else:
+            a = region[:, :, 3:4].astype(np.uint16)
+            inv = 255 - a
+            target[:, :, :3] = ((region[:, :, :3] * a
+                                 + target[:, :, :3] * inv) // 255
+                                ).astype(np.uint8)
+            target[:, :, 3:4] = np.maximum(target[:, :, 3:4], region[:, :, 3:4])
+        out.append((canvas.copy(), ts))
+        ts += dur
+        if dispose_bg:
+            target[:] = 0
+        if max_frames is not None and len(out) >= max_frames:
+            break
+    return out
+
+
+def _rgba(px: np.ndarray) -> np.ndarray:
+    if px.shape[2] == 4:
+        return px
+    return np.concatenate(
+        [px, np.full(px.shape[:2] + (1,), 255, np.uint8)], axis=2)
+
+
+def encode_webp_anim(frames: list, delays_ms: list,
+                     lossless: bool = True) -> bytes:
+    """Fixture writer: full-canvas RGBA frames → animated WebP
+    (VP8X + ANIM + per-frame ANMF wrapping VP8L essence)."""
+    if not frames or len(frames) != len(delays_ms):
+        raise ValueError("frames/delays mismatch")
+    h, w = frames[0].shape[:2]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    vp8x = chunk(b"VP8X", bytes([0x02]) + b"\x00" * 3
+                 + (w - 1).to_bytes(3, "little")
+                 + (h - 1).to_bytes(3, "little"))
+    anim = chunk(b"ANIM", struct.pack("<IH", 0, 0))
+    body = vp8x + anim
+    for img, dur in zip(frames, delays_ms):
+        riff = encode_vp8l(np.ascontiguousarray(img))
+        # strip the still-image RIFF wrapper down to the VP8L payload
+        essence_len = struct.unpack("<I", riff[16:20])[0]
+        essence = riff[20:20 + essence_len]
+        payload = (b"\x00" * 6            # x=y=0
+                   + (w - 1).to_bytes(3, "little")
+                   + (h - 1).to_bytes(3, "little")
+                   + int(dur).to_bytes(3, "little")
+                   + bytes([0x02])        # no-blend (full-canvas frames)
+                   + chunk(b"VP8L", essence))
+        body += chunk(b"ANMF", payload)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
