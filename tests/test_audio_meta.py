@@ -174,3 +174,17 @@ def test_audio_metadata_operator(spark):
     assert rows["c.aac"].container == "aac"
     assert abs(rows["c.aac"].duration_s - 10 * 1024 / 44100) < 0.01
     assert rows["d.bin"].ok == "err:not-audio"
+
+
+def test_id3v2_unsynchronisation():
+    # build the logical frame, then apply the FF -> FF 00 byte stuffing
+    # the unsync flag (bit 7) declares
+    raw_frame = b"TIT2" + struct.pack(">I", 7) + b"\x00\x00" \
+        + b"\x00" + b"My \xff~T"
+    stuffed = raw_frame.replace(b"\xff", b"\xff\x00")
+    hdr = b"ID3" + bytes([3, 0, 0x80]) + bytes(
+        [(len(stuffed) >> 21) & 0x7F, (len(stuffed) >> 14) & 0x7F,
+         (len(stuffed) >> 7) & 0x7F, len(stuffed) & 0x7F])
+    meta = mp3_metadata(hdr + stuffed + _mp3_frame())
+    assert meta["title"] == b"My \xff~T".decode("latin-1")
+    assert meta["sample_rate"] == 44100

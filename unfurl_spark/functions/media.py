@@ -886,6 +886,13 @@ def _parse_id3v2(data: bytes) -> tuple[dict, int]:
     if data[5] & 0x10:  # footer present (v2.4)
         size += 10
     tags: dict = {}
+    if data[5] & 0x80:
+        # unsynchronisation: FF 00 byte-stuffing applied to the whole
+        # tag (v2.2/2.3 semantics; v2.4 per-frame flags collapse to the
+        # same reversal on the frames we read)
+        body = data[10:size].replace(b"\xff\x00", b"\xff")
+        data = data[:10] + body
+        size = 10 + len(body)
     pos = 10
     if data[5] & 0x40 and major >= 3:  # extended header
         if pos + 4 > len(data):
