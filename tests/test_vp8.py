@@ -189,3 +189,47 @@ def test_tables_shapes():
     assert list(t.COEFF_PROBS[33:39]) == [253, 136, 254, 255, 228, 219]
     assert list(t.KF_BMODE_PROBS[:9]) == [231, 120, 48, 89, 115, 113,
                                           120, 152, 112]
+
+
+@needs_libwebp
+def test_alpha_plane_bit_exact():
+    """ALPH chunk (lossy WebP with transparency): the decoded alpha
+    plane must match libwebp's RGBA output exactly across gradient /
+    diagonal / noise alpha patterns and qualities."""
+    from unfurl_spark.functions.vp8l import decode_webp
+    rng = np.random.default_rng(11)
+    for t in range(6):
+        h, w = int(rng.integers(8, 90)), int(rng.integers(8, 90))
+        img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        if t % 3 == 0:
+            img[:, :, 3] = np.repeat(
+                np.linspace(0, 255, h).astype(np.uint8)[:, None], w, 1)
+        elif t % 3 == 1:
+            img[:, :, 3] = ((np.arange(h)[:, None]
+                             + np.arange(w)[None, :]) % 256).astype(np.uint8)
+        data = vp8sys.webp_encode_rgba(img, float(rng.integers(1, 101)))
+        px = decode_webp(data)
+        gold = vp8sys.webp_decode_rgba(data)
+        assert px.shape[2] == 4
+        assert np.array_equal(px[:, :, 3], gold[:, :, 3]), t
+
+
+def test_decode_alpha_filters_raw():
+    """Raw (uncompressed) alpha with each reverse filter, self-built."""
+    from unfurl_spark.functions.vp8l import decode_alpha
+    rng = np.random.default_rng(3)
+    plane = rng.integers(0, 256, (6, 7), dtype=np.uint8)
+    # no filter, raw compression
+    chunk = bytes([0]) + plane.tobytes()
+    assert np.array_equal(decode_alpha(chunk, 7, 6), plane)
+    # horizontal filter: forward-apply then expect inverse recovery
+    filt = plane.astype(np.int32).copy()
+    for y in range(6):
+        pred0 = 0 if y == 0 else int(plane[y - 1, 0])
+        row = plane[y].astype(np.int32)
+        f = np.empty(7, np.int32)
+        f[0] = (row[0] - pred0) & 0xFF
+        f[1:] = (row[1:] - row[:-1]) & 0xFF
+        filt[y] = f
+    chunk = bytes([0 | (1 << 2)]) + filt.astype(np.uint8).tobytes()
+    assert np.array_equal(decode_alpha(chunk, 7, 6), plane)

@@ -426,21 +426,86 @@ def decode_vp8l(data: bytes) -> np.ndarray:
     return np.dstack([r, g, b, a])
 
 
+def decode_alpha(chunk: bytes, w: int, h: int) -> np.ndarray:
+    """WebP ALPH chunk → HxW uint8 alpha plane.  Compression 0 (raw) or
+    1 (the alpha plane coded as the green channel of a headerless VP8L
+    stream), then the container's reverse filter (none / horizontal /
+    vertical / gradient).  Pre-processed (level-reduced) alpha decodes
+    without libwebp's optional smoothing pass — values are exact at the
+    quantized levels, a documented cosmetic divergence."""
+    if not chunk:
+        raise CodecError("webp: empty ALPH chunk")
+    head = chunk[0]
+    compression = head & 0x3
+    filtering = (head >> 2) & 0x3
+    body = chunk[1:]
+    if compression == 0:
+        if len(body) < w * h:
+            raise CodecError("webp: truncated raw alpha")
+        plane = np.frombuffer(body[:w * h], np.uint8).reshape(h, w).copy()
+    elif compression == 1:
+        br = _Bits(body)
+        img = _decode_image(br, w, h, True)
+        if img.shape[1] > w:
+            img = img[:, :w]
+        if img.shape != (h, w):
+            raise CodecError("webp: alpha stream size mismatch")
+        plane = ((img >> 8) & 0xFF).astype(np.uint8)  # green channel
+    else:
+        raise CodecError("webp: bad alpha compression")
+    if filtering == 0:
+        return plane
+    out = np.zeros_like(plane)
+    for y in range(h):
+        prev = out[y - 1] if y else None
+        row = plane[y]
+        if filtering == 1 or prev is None:   # horizontal (or first row)
+            pred = 0 if prev is None else int(prev[0])
+            acc = np.empty(w, np.uint8)
+            for x in range(w):
+                pred = (pred + int(row[x])) & 0xFF
+                acc[x] = pred
+            out[y] = acc
+        elif filtering == 2:                 # vertical
+            out[y] = (prev.astype(np.int32) + row).astype(np.uint8)
+        else:                                # gradient
+            top_left = int(prev[0])
+            left = top_left
+            acc = np.empty(w, np.uint8)
+            for x in range(w):
+                top = int(prev[x])
+                g = left + top - top_left
+                g = 0 if g < 0 else (255 if g > 255 else g)
+                left = (int(row[x]) + g) & 0xFF
+                top_left = top
+                acc[x] = left
+            out[y] = acc
+    return out
+
+
 def decode_webp(data: bytes) -> np.ndarray:
     """RIFF WebP container → pixels.  Lossless (VP8L) decodes for real;
     lossy (VP8) stays the honest ``CodecUnavailable`` boundary."""
     if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise CodecError("webp: bad container")
     i, n = 12, len(data)
+    alpha_chunk = None
     while i + 8 <= n:
         fourcc = data[i:i + 4]
         size = struct.unpack_from("<I", data, i + 4)[0]
         chunk = data[i + 8:i + 8 + size]
-        if fourcc == b"VP8L":
+        if fourcc == b"ALPH":
+            alpha_chunk = chunk
+        elif fourcc == b"VP8L":
             return decode_vp8l(chunk)
-        if fourcc == b"VP8 ":
+        elif fourcc == b"VP8 ":
             from .vp8 import decode_vp8
-            return decode_vp8(chunk)
+            px = decode_vp8(chunk)
+            if alpha_chunk is not None:
+                hgt, wid = px.shape[:2]
+                a = decode_alpha(alpha_chunk, wid, hgt)
+                return np.dstack([px, a])
+            return px
         i += 8 + size + (size & 1)
     raise CodecError("webp: no image chunk")
 
