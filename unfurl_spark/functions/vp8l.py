@@ -945,18 +945,24 @@ def decode_webp_frames(data: bytes, max_frames: int | None = None
         i += 8 + size + (size & 1)
 
     def essence_rgba(payload: bytes) -> np.ndarray:
-        """First image chunk inside an ANMF body (ALPH skipped for VP8
-        — lossy alpha stays a flagged boundary, frame decodes opaque)."""
+        """Image (+ optional ALPH) chunks inside an ANMF body."""
         j = 0
+        alpha = None
         while j + 8 <= len(payload):
             tag = payload[j:j + 4]
             sz = struct.unpack_from("<I", payload, j + 4)[0]
             body = payload[j + 8:j + 8 + sz]
-            if tag == b"VP8L":
+            if tag == b"ALPH":
+                alpha = body
+            elif tag == b"VP8L":
                 return _rgba(decode_vp8l(body))
-            if tag == b"VP8 ":
+            elif tag == b"VP8 ":
                 from .vp8 import decode_vp8
-                return _rgba(decode_vp8(body))
+                px = decode_vp8(body)
+                if alpha is not None:
+                    a = decode_alpha(alpha, px.shape[1], px.shape[0])
+                    return np.dstack([px, a])
+                return _rgba(px)
             j += 8 + sz + (sz & 1)
         raise CodecError("webp: ANMF without image chunk")
 
