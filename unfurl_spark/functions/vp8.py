@@ -337,9 +337,11 @@ def _iwht4x4(coeffs) -> list:
 # --- token / coefficient decoding (§13) --------------------------------------
 
 def _decode_coeffs(bd: BoolDecoder, probs: bytes, plane: int,
-                   ctx: int, first: int, dqf: int, dqr: int) -> list | None:
-    """Decode one 4x4 block's coefficients.  Returns the dequantized
-    block in raster order, or None when every coefficient is zero.
+                   ctx: int, first: int, dqf: int, dqr: int):
+    """Decode one 4x4 block's coefficients.  Returns (block, nz): the
+    dequantized block in raster order (None when every coefficient is
+    zero) and the scan position at which decoding stopped — the
+    transform-dispatch class key (see _transform_class).
     ``plane``: 0=Y-after-Y2 1=Y2 2=chroma 3=Y-with-DC;
     ``dqf``/``dqr``: quantizer for coeff 0 / the rest."""
     out = None
@@ -383,7 +385,7 @@ def _decode_coeffs(bd: BoolDecoder, probs: bytes, plane: int,
         # bit-exactness requires replicating that
         out[ZIGZAG[n]] = _wrap16(value * (dqf if n == 0 else dqr))
         n += 1
-    return out
+    return out, n
 
 
 # --- intra prediction (§12) ---------------------------------------------------
@@ -824,7 +826,8 @@ def decode_vp8_yuv(data: bytes):
                 ynz = [[0] * 5 for _ in range(5)]  # [row+1][col+1] grids
                 if not i4x4:
                     ctx = ay2[mb_x] + ly2
-                    blk = _decode_coeffs(tb, probs, 1, ctx, 0, y2dc, y2ac)
+                    blk, _nz2 = _decode_coeffs(tb, probs, 1, ctx, 0,
+                                               y2dc, y2ac)
                     nz = blk is not None
                     ay2[mb_x] = ly2 = 1 if nz else 0
                     has_nz |= nz
@@ -838,11 +841,11 @@ def decode_vp8_yuv(data: bytes):
                 for sb in range(16):
                     r, c = sb >> 2, sb & 3
                     ctx = ynz[r][c + 1] + ynz[r + 1][c]
-                    blk = _decode_coeffs(tb, probs, plane, ctx, first,
-                                         y1dc, y1ac)
+                    blk, bnz = _decode_coeffs(tb, probs, plane, ctx,
+                                              first, y1dc, y1ac)
                     ynz[r + 1][c + 1] = 1 if blk is not None else 0
                     has_nz |= blk is not None
-                    yblocks[sb] = blk
+                    yblocks[sb] = (blk, bnz)
                 for i in range(4):
                     ay[mb_x * 4 + i] = ynz[4][i + 1]
                     ly[i] = ynz[i + 1][4]
@@ -855,11 +858,11 @@ def decode_vp8_yuv(data: bytes):
                     for sb in range(4):
                         r, c = sb >> 1, sb & 1
                         ctx = cnz[r][c + 1] + cnz[r + 1][c]
-                        blk = _decode_coeffs(tb, probs, 2, ctx, 0,
-                                             uvdc, uvac)
+                        blk, bnz = _decode_coeffs(tb, probs, 2, ctx, 0,
+                                                  uvdc, uvac)
                         cnz[r + 1][c + 1] = 1 if blk is not None else 0
                         has_nz |= blk is not None
-                        blocks[sb] = blk
+                        blocks[sb] = (blk, bnz)
                     for i in range(2):
                         anz[mb_x * 2 + i] = cnz[2][i + 1]
                         lnz[i] = cnz[i + 1][2]
@@ -891,29 +894,40 @@ def decode_vp8_yuv(data: bytes):
             if not i4x4:
                 _pred_block(yp, y0, x0, 16, ymode, mb_y > 0, mb_x > 0)
                 for sb in range(16):
-                    blk = yblocks[sb]
+                    entry = yblocks[sb]
+                    blk, bnz = entry if entry is not None else (None, 1)
                     dc = dcs[sb] if dcs is not None else 0
                     if blk is None and dc == 0:
                         continue
                     if blk is None:
                         blk = [0] * 16
+                        bnz = 1
                     blk[0] = dc
-                    _add_residual(yp, y0 + 4 * (sb >> 2),
-                                  x0 + 4 * (sb & 3), blk)
+                    _apply_block(yp, y0 + 4 * (sb >> 2),
+                                 x0 + 4 * (sb & 3), blk, bnz)
             else:
                 for sb in range(16):
                     r, c = sb >> 2, sb & 3
                     tr = tr4 if (c == 3 and r > 0) else None
                     _pred_b(yp, y0 + 4 * r, x0 + 4 * c, bmodes[sb], tr)
-                    if yblocks[sb] is not None:
-                        _add_residual(yp, y0 + 4 * r, x0 + 4 * c,
-                                      yblocks[sb])
+                    blk, bnz = yblocks[sb] if yblocks[sb] is not None \
+                        else (None, 0)
+                    if blk is not None:
+                        _apply_block(yp, y0 + 4 * r, x0 + 4 * c, blk, bnz)
             for cp, blocks in ((up, ublocks), (vp, vblocks)):
                 _pred_block(cp, cy0, cx0, 8, uvmode, mb_y > 0, mb_x > 0)
+                # chroma dispatch is per CHANNEL: if any of the four
+                # blocks carries more than a DC, the full (16-bit lane)
+                # transform runs for all of them; otherwise each block
+                # takes the scalar DC-only path — no AC3 form for chroma
+                full = any(e is not None and e[0] is not None
+                           and e[1] > 1 for e in blocks)
                 for sb in range(4):
-                    if blocks[sb] is not None:
-                        _add_residual(cp, cy0 + 4 * (sb >> 1),
-                                      cx0 + 4 * (sb & 1), blocks[sb])
+                    entry = blocks[sb]
+                    if entry is not None and entry[0] is not None:
+                        _apply_block(cp, cy0 + 4 * (sb >> 1),
+                                     cx0 + 4 * (sb & 1), entry[0],
+                                     4 if full else min(entry[1], 1))
         infos.append(inforow)
 
     if h.filter_level > 0 or (h.segmentation and any(h.seg_lf)):
@@ -925,8 +939,34 @@ def decode_vp8_yuv(data: bytes):
             vp[1:ch + 1, 1:cw + 1].copy())
 
 
-def _add_residual(plane, y0, x0, coeffs):
-    res = np.asarray(_idct4x4(coeffs), np.int32).reshape(4, 4)
+def _mul1(a: int) -> int:
+    return ((a * 20091) >> 16) + a
+
+
+def _mul2(a: int) -> int:
+    return (a * 35468) >> 16
+
+
+def _apply_block(plane, y0, x0, coeffs, nz):
+    """Transform + add one block, replicating the format's per-block
+    dispatch: nz>3 → full inverse DCT in 16-bit lanes; nz in {2,3}
+    (coefficients confined to scan positions ≤2, i.e. raster {0,1,4})
+    → exact scalar closed form; nz≤1 → scalar DC-only; all-zero → no-op.
+    The split is observable on adversarial streams because only the
+    full path wraps int16."""
+    if nz > 3:
+        res = np.asarray(_idct4x4(coeffs), np.int32).reshape(4, 4)
+    elif nz > 1:
+        a = coeffs[0] + 4
+        c1, d1 = _mul2(coeffs[1]), _mul1(coeffs[1])
+        c4, d4 = _mul2(coeffs[4]), _mul1(coeffs[4])
+        base = np.asarray([a + d4, a + c4, a - c4, a - d4], np.int32)
+        off = np.asarray([d1, c1, -c1, -d1], np.int32)
+        res = (base[:, None] + off[None, :]) >> 3
+    elif coeffs[0]:
+        res = np.full((4, 4), (coeffs[0] + 4) >> 3, np.int32)
+    else:
+        return
     blk = plane[y0:y0 + 4, x0:x0 + 4].astype(np.int32) + res
     plane[y0:y0 + 4, x0:x0 + 4] = np.clip(blk, 0, 255).astype(np.uint8)
 
