@@ -129,7 +129,9 @@ def test_parity_adversarial_fuzz():
         for sb in range(16):
             lo = 1 if ymode != 4 else 0
             for i in rng.sample(range(lo, 16), rng.randint(0, 5)):
-                mb["y"][sb][i] = rng.randint(-80, 80)
+                # extreme levels exercise the int16-wrap transform
+                # dispatch (full vs AC3 vs DC paths)
+                mb["y"][sb][i] = rng.randint(-150, 150)
         for k in "uv":
             for sb in range(4):
                 for i in rng.sample(range(16), rng.randint(0, 3)):
