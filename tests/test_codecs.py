@@ -227,15 +227,23 @@ def test_jpeg_dct_spec_orientation():
     assert abs(px[0, 0] - px[0, 7]) > 1  # columns vary
 
 
-def test_jpeg_arithmetic_coding_rejected():
-    # SOF9 (arithmetic sequential) stays an honest CodecUnavailable
-    # boundary; progressive (SOF2) is now decoded for real
+def test_jpeg_arith_progressive_rejected_sequential_total():
+    # SOF10 (arithmetic progressive) stays an honest CodecUnavailable
+    # boundary; SOF9 (arithmetic sequential) decodes for real — a
+    # spliced SOF9 header over Huffman entropy must stay TOTAL (either
+    # pixels or a typed CodecError, never a crash)
     img = np.zeros((8, 8, 1), np.uint8)
     enc = bytearray(J.encode_jpeg(img))
     i = enc.index(b"\xFF\xC0")
-    enc[i + 1] = 0xC9
+    enc[i + 1] = 0xCA
     with pytest.raises(C.CodecUnavailable):
         J.decode_jpeg(bytes(enc))
+    enc[i + 1] = 0xC9
+    try:
+        out = J.decode_jpeg(bytes(enc))
+        assert out.shape[0] == 8
+    except C.CodecError:
+        pass
 
 
 def test_resize_area_preserves_mean_and_solid():

@@ -6,7 +6,9 @@ restart markers) → dequantize → vectorized numpy IDCT → chroma
 upsample → YCbCr→RGB.  Handles SOF0/SOF1 and SOF2 (spectral selection
 + successive approximation per T.81 G.1.2, incl. EOB runs and AC
 refinement correction bits), 4:4:4 / 4:2:2 / 4:2:0 sampling, DRI
-restarts.  Arithmetic coding (SOF9+) raises ``CodecUnavailable``.
+restarts.  Arithmetic coding decodes too for the sequential case
+(SOF9, via the T.81 QM-coder in ``jpegarith``); arithmetic progressive
+(SOF10) and the hierarchical modes stay ``CodecUnavailable``.
 
 Encoders (test-fixture use): baseline with Annex K tables, and a
 progressive encoder with the conventional multi-scan script.  Encoder
@@ -191,6 +193,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     frame = None  # (w, h, comps)
     restart_interval = 0
     progressive = False
+    arithmetic = False
+    arith_dc: dict[int, tuple] = {}   # table id → (L, U)
+    arith_ac: dict[int, int] = {}     # table id → Kx
     prog_state: dict[int, dict] = {}  # comp id → {"coefs": ndarray}
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -246,7 +251,27 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     prog_state[c["id"]] = {
                         "coefs": np.zeros(
                             (mcuy * c["v"], mcux * c["h"], 64), np.int32)}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC9:  # SOF9: arithmetic-coded sequential
+            _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if nc not in (1, 3):
+                raise CodecUnavailable(f"jpeg: {nc}-component frame")
+            comps = []
+            for ci in range(nc):
+                cid, sampling, qid = body[6 + 3 * ci:9 + 3 * ci]
+                comps.append({"id": cid, "h": sampling >> 4,
+                              "v": sampling & 15, "q": qid})
+            frame = (w, h, comps)
+            arithmetic = True
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            i = 0
+            while i + 1 < len(body):
+                tclass, tid = body[i] >> 4, body[i] & 15
+                if tclass == 0:
+                    arith_dc[tid] = (body[i + 1] & 15, body[i + 1] >> 4)
+                else:
+                    arith_ac[tid] = body[i + 1]
+                i += 2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise CodecUnavailable(f"jpeg: SOF{marker - 0xC0} unsupported")
         elif marker == 0xDD:  # DRI
@@ -259,6 +284,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for si in range(ns):
                 cid, tids = body[1 + 2 * si], body[2 + 2 * si]
                 scan.append((cid, tids >> 4, tids & 15))
+            if arithmetic:
+                return _decode_scan_arith(
+                    data, pos + 2 + seg_len, frame, scan, qtables,
+                    arith_dc, arith_ac, restart_interval)
             if not progressive:
                 return _decode_scan(data, pos + 2 + seg_len, frame, scan,
                                     qtables, htables, restart_interval)
@@ -329,6 +358,99 @@ def _decode_scan(data, pos, frame, scan, qtables, htables,
                         block[ZIGZAG] = coeffs * c["qt"][np.arange(64)]
                         # IDCT: x = M.T X M with M the orthonormal DCT
                         # basis; _DCT_C == M.T
+                        px = ct @ block.reshape(8, 8) @ ct.T
+                        y0 = (my * c["v"] + bv) * 8
+                        x0 = (mx * c["h"] + bh) * 8
+                        c["plane"][y0:y0 + 8, x0:x0 + 8] = px
+            mcu_count += 1
+
+    planes = []
+    for c in comps:
+        p = c["plane"] + 128.0
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        planes.append(p[:h, :w])
+    if len(planes) == 1:
+        return np.clip(planes[0], 0, 255).astype(np.uint8)[:, :, None]
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)
+
+
+def _decode_scan_arith(data, pos, frame, scan, qtables, arith_dc,
+                       arith_ac, restart_interval) -> np.ndarray:
+    """Sequential arithmetic-coded scan (SOF9): same MCU walk and
+    reconstruction as _decode_scan with the QM entropy decoder from
+    jpegarith (T.81 §F.2.4) in place of Huffman."""
+    from .jpegarith import ArithDecoder, decode_ac_arith, decode_dc_arith
+
+    w, h, comps = frame
+    _check_dims(w, h, "jpeg")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    by_id = {c["id"]: c for c in comps}
+    for ci, (cid, dc_id, ac_id) in enumerate(scan):
+        c = by_id[cid]
+        c["dc_l"], c["dc_u"] = arith_dc.get(dc_id, (0, 1))
+        c["kx"] = arith_ac.get(ac_id, 5)
+        c["dc_tid"], c["ac_tid"] = dc_id, ac_id
+        c["qt"] = qtables[c["q"]]
+        c["pw"] = mcux * c["h"] * 8
+        c["ph"] = mcuy * c["v"] * 8
+        c["plane"] = np.zeros((c["ph"], c["pw"]), np.float32)
+        c["pred"] = 0
+        c["idx"] = ci
+
+    def fresh_stats():
+        dc = {tid: bytearray(64) for tid in {c["dc_tid"] for c in comps}}
+        ac = {tid: bytearray(256) for tid in {c["ac_tid"] for c in comps}}
+        return dc, ac
+
+    dec = ArithDecoder(data, pos)
+    dc_stats, ac_stats = fresh_stats()
+    dc_ctx = [0] * len(comps)
+    mcu_count = 0
+    ct = _DCT_C.astype(np.float32)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (restart_interval and mcu_count
+                    and mcu_count % restart_interval == 0):
+                # skip to just past the RSTn marker, reinit everything
+                p2 = dec.pos
+                while p2 + 1 < len(data) and not (
+                        data[p2] == 0xFF
+                        and 0xD0 <= data[p2 + 1] <= 0xD7):
+                    p2 += 1
+                dec = ArithDecoder(data, p2 + 2)
+                dc_stats, ac_stats = fresh_stats()
+                dc_ctx = [0] * len(comps)
+                for c in comps:
+                    c["pred"] = 0
+            for c in comps:
+                for bv in range(c["v"]):
+                    for bh in range(c["h"]):
+                        coeffs = np.zeros(64, np.int32)
+                        diff = decode_dc_arith(
+                            dec, dc_stats[c["dc_tid"]], dc_ctx,
+                            c["idx"], c["dc_l"], c["dc_u"])
+                        c["pred"] += diff
+                        coeffs[0] = c["pred"]
+                        k = 1
+                        stats = ac_stats[c["ac_tid"]]
+                        while k <= 63:
+                            k, v = decode_ac_arith(dec, stats, k,
+                                                   c["kx"], 63)
+                            if v is None:
+                                break
+                            coeffs[k] = v
+                            k += 1
+                        block = np.zeros(64, np.float32)
+                        block[ZIGZAG] = coeffs * c["qt"][np.arange(64)]
                         px = ct @ block.reshape(8, 8) @ ct.T
                         y0 = (my * c["v"] + bv) * 8
                         x0 = (mx * c["h"] + bh) * 8
