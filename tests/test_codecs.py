@@ -227,15 +227,15 @@ def test_jpeg_dct_spec_orientation():
     assert abs(px[0, 0] - px[0, 7]) > 1  # columns vary
 
 
-def test_jpeg_arith_progressive_rejected_sequential_total():
-    # SOF10 (arithmetic progressive) stays an honest CodecUnavailable
-    # boundary; SOF9 (arithmetic sequential) decodes for real — a
-    # spliced SOF9 header over Huffman entropy must stay TOTAL (either
-    # pixels or a typed CodecError, never a crash)
+def test_jpeg_hierarchical_rejected_arith_total():
+    # SOF11 (hierarchical/lossless family) stays an honest
+    # CodecUnavailable boundary; SOF9/SOF10 (arithmetic) decode for
+    # real — a spliced SOF9 header over Huffman entropy must stay TOTAL
+    # (either pixels or a typed CodecError, never a crash)
     img = np.zeros((8, 8, 1), np.uint8)
     enc = bytearray(J.encode_jpeg(img))
     i = enc.index(b"\xFF\xC0")
-    enc[i + 1] = 0xCA
+    enc[i + 1] = 0xCB
     with pytest.raises(C.CodecUnavailable):
         J.decode_jpeg(bytes(enc))
     enc[i + 1] = 0xC9

@@ -103,13 +103,44 @@ def test_arith_matches_libjpeg_within_family_tolerance(helper):
     assert drift_a < 3.0
 
 
-def test_progressive_arith_still_boundary(helper):
-    """SOF10 (arith progressive) stays a flagged CodecUnavailable."""
+def _enc_prog(helper, img, arith, q, gray):
+    r = subprocess.run(
+        [helper, "encode", str(img.shape[1]), str(img.shape[0]),
+         str(q), str(arith), str(gray), "1"],
+        input=img.tobytes(), capture_output=True)
+    assert r.returncode == 0, r.stderr
+    return r.stdout
+
+
+def test_progressive_arith_identity(helper):
+    """SOF10: arithmetic progressive must decode byte-identically to
+    the arithmetic sequential AND Huffman encodings of the same image
+    (entropy + scan-script are both lossless)."""
+    rng = np.random.default_rng(31)
+    for t in range(6):
+        gray = t % 2 == 0
+        h = int(rng.integers(5, 100))
+        w = int(rng.integers(5, 100))
+        shape = (h, w) if gray else (h, w, 3)
+        g = rng.integers(0, 256, shape, dtype=np.uint8) if t % 3 \
+            else np.clip(rng.normal(120, 40, shape).cumsum(axis=0) / 5
+                         + 40, 0, 255).astype(np.uint8)
+        q = int(rng.integers(10, 98))
+        prog = _enc_prog(helper, g, 1, q, int(gray))
+        seq = _enc(helper, g, 1, q, int(gray))
+        huff = _enc(helper, g, 0, q, int(gray))
+        assert b"\xff\xca" in prog                # SOF10
+        p_prog = decode_jpeg(prog)
+        assert np.array_equal(p_prog, decode_jpeg(seq)), (t, q)
+        assert np.array_equal(p_prog, decode_jpeg(huff)), (t, q)
+
+
+def test_hierarchical_still_boundary(helper):
+    """SOF11+ (hierarchical/lossless) stays flagged CodecUnavailable."""
     from unfurl_spark.functions.codecs import CodecUnavailable
-    # splice an SOF10 marker over an SOF9 stream to simulate
     img = np.full((16, 16, 3), 100, np.uint8)
     data = bytearray(_enc(helper, img, 1, 85, 0))
     i = bytes(data).find(b"\xff\xc9")
-    data[i + 1] = 0xCA
+    data[i + 1] = 0xCB
     with pytest.raises(CodecUnavailable):
         decode_jpeg(bytes(data))

@@ -3,7 +3,7 @@
  * Compiled on demand by tests/test_jpeg_arith.py (skipped when gcc or
  * libjpeg headers are absent); never part of the runtime engine.
  *
- *   jpeghelper encode <w> <h> <quality> <arith 0|1> <gray 0|1>
+ *   jpeghelper encode <w> <h> <quality> <arith 0|1> <gray 0|1> [prog 0|1]
  *       raw RGB (or gray) on stdin -> JPEG on stdout
  *   jpeghelper decode
  *       JPEG on stdin -> "w h ncomp\n" + raw bytes on stdout
@@ -29,6 +29,7 @@ int main(int argc, char **argv) {
   if (argc >= 2 && strcmp(argv[1], "encode") == 0) {
     int w = atoi(argv[2]), h = atoi(argv[3]), q = atoi(argv[4]);
     int arith = atoi(argv[5]), gray = atoi(argv[6]);
+    int prog = argc > 7 ? atoi(argv[7]) : 0;
     int ch = gray ? 1 : 3;
     size_t need = (size_t)w * h * ch, n;
     unsigned char *rgb = read_all(stdin, &n);
@@ -48,6 +49,7 @@ int main(int argc, char **argv) {
     jpeg_set_quality(&cinfo, q, TRUE);
     cinfo.arith_code = arith ? TRUE : FALSE;
     cinfo.optimize_coding = FALSE;
+    if (prog) jpeg_simple_progression(&cinfo);
     jpeg_start_compress(&cinfo, TRUE);
     while (cinfo.next_scanline < cinfo.image_height) {
       JSAMPROW row = rgb + (size_t)cinfo.next_scanline * w * ch;

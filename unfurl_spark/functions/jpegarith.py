@@ -291,3 +291,43 @@ def decode_ac_arith(dec: ArithDecoder, stats: bytearray, k: int,
             v |= mm
     v += 1
     return k, (-v if sign else v)
+
+
+def decode_dc_refine_arith(dec: ArithDecoder, coef, al: int) -> None:
+    """DC successive-approximation refinement: one fixed-probability
+    bit per block (§G.2 arithmetic variant)."""
+    if dec.decode(FIXED_BIN, 0):
+        coef[0] |= 1 << al
+
+
+def decode_ac_refine_arith(dec: ArithDecoder, stats: bytearray, coef,
+                           zigzag, ss: int, se: int, al: int) -> None:
+    """AC successive-approximation refinement for one block: correction
+    bits for previously-nonzero coefficients, newly-significant bits at
+    the current level, EOB decision gated past the previous stage's
+    end-of-block index."""
+    p1 = 1 << al
+    m1 = -p1
+    kex = se
+    while kex > 0 and coef[int(zigzag[kex])] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(stats, st):
+                break
+        while True:
+            z = int(zigzag[k])
+            if coef[z]:
+                if dec.decode(stats, st + 2):
+                    coef[z] += m1 if coef[z] < 0 else p1
+                break
+            if dec.decode(stats, st + 1):
+                coef[z] = m1 if dec.decode(FIXED_BIN, 0) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise CodecError("jpeg: arith AC refine overflow")
+        k += 1

@@ -6,9 +6,9 @@ restart markers) → dequantize → vectorized numpy IDCT → chroma
 upsample → YCbCr→RGB.  Handles SOF0/SOF1 and SOF2 (spectral selection
 + successive approximation per T.81 G.1.2, incl. EOB runs and AC
 refinement correction bits), 4:4:4 / 4:2:2 / 4:2:0 sampling, DRI
-restarts.  Arithmetic coding decodes too for the sequential case
-(SOF9, via the T.81 QM-coder in ``jpegarith``); arithmetic progressive
-(SOF10) and the hierarchical modes stay ``CodecUnavailable``.
+restarts.  Arithmetic coding decodes too — sequential (SOF9) and
+progressive (SOF10) via the T.81 QM-coder in ``jpegarith``; only the
+hierarchical/lossless modes stay ``CodecUnavailable``.
 
 Encoders (test-fixture use): baseline with Annex K tables, and a
 progressive encoder with the conventional multi-scan script.  Encoder
@@ -271,7 +271,28 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 else:
                     arith_ac[tid] = body[i + 1]
                 i += 2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
+        elif marker == 0xCA:  # SOF10: arithmetic-coded progressive
+            _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if nc not in (1, 3):
+                raise CodecUnavailable(f"jpeg: {nc}-component frame")
+            comps = []
+            for ci in range(nc):
+                cid, sampling, qid = body[6 + 3 * ci:9 + 3 * ci]
+                comps.append({"id": cid, "h": sampling >> 4,
+                              "v": sampling & 15, "q": qid})
+            frame = (w, h, comps)
+            arithmetic = True
+            progressive = True
+            _check_dims(w, h, "jpeg")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                prog_state[c["id"]] = {
+                    "coefs": np.zeros(
+                        (mcuy * c["v"], mcux * c["h"], 64), np.int32)}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise CodecUnavailable(f"jpeg: SOF{marker - 0xC0} unsupported")
         elif marker == 0xDD:  # DRI
@@ -284,10 +305,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for si in range(ns):
                 cid, tids = body[1 + 2 * si], body[2 + 2 * si]
                 scan.append((cid, tids >> 4, tids & 15))
-            if arithmetic:
+            if arithmetic and not progressive:
                 return _decode_scan_arith(
                     data, pos + 2 + seg_len, frame, scan, qtables,
                     arith_dc, arith_ac, restart_interval)
+            if arithmetic:
+                ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+                pos = _decode_prog_scan_arith(
+                    data, pos + 2 + seg_len, frame, scan, ss, se,
+                    ahal >> 4, ahal & 15, arith_dc, arith_ac,
+                    restart_interval, prog_state)
+                continue
             if not progressive:
                 return _decode_scan(data, pos + 2 + seg_len, frame, scan,
                                     qtables, htables, restart_interval)
@@ -626,6 +654,120 @@ def _decode_prog_scan(data, pos, frame, scan, ss, se, ah, al,
 
     # skip to the next marker (entropy padding / stray RSTs in between)
     p = reader.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] not in (0x00, 0xFF):
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    return len(data)
+
+
+def _decode_prog_scan_arith(data, pos, frame, scan, ss, se, ah, al,
+                            arith_dc, arith_ac, restart_interval,
+                            state) -> int:
+    """One arithmetic-coded progressive SOS (SOF10).  Mirrors
+    _decode_prog_scan's grid walk with the §G.2 arithmetic block
+    primitives; statistics and the QM decoder re-initialize per scan
+    (and per restart)."""
+    from .jpegarith import (
+        ArithDecoder,
+        decode_ac_arith,
+        decode_ac_refine_arith,
+        decode_dc_arith,
+        decode_dc_refine_arith,
+    )
+
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    by_id = {c["id"]: c for c in comps}
+
+    def fresh():
+        return (ArithDecoder(data, pos_holder[0]),
+                {tid: bytearray(64) for tid in dc_tids},
+                {tid: bytearray(256) for tid in ac_tids},
+                [0] * len(scan), {cid: 0 for cid, _, _ in scan})
+
+    pos_holder = [pos]
+    dc_tids = {dc_id for _, dc_id, _ in scan}
+    ac_tids = {ac_id for _, _, ac_id in scan}
+    dec, dc_stats, ac_stats, dc_ctx, last_dc = fresh()
+    n_units = 0
+
+    def maybe_restart():
+        nonlocal dec, dc_stats, ac_stats, dc_ctx, last_dc
+        if (restart_interval and n_units
+                and n_units % restart_interval == 0):
+            p2 = dec.pos
+            while p2 + 1 < len(data) and not (
+                    data[p2] == 0xFF and 0xD0 <= data[p2 + 1] <= 0xD7):
+                p2 += 1
+            pos_holder[0] = p2 + 2
+            dec, dc_stats, ac_stats, dc_ctx, last_dc = fresh()
+
+    if ss == 0 and len(scan) > 1:
+        # interleaved DC scan in MCU order
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for si, (cid, dc_id, _ac) in enumerate(scan):
+                    c = by_id[cid]
+                    cl, cu = arith_dc.get(dc_id, (0, 1))
+                    coefs = state[cid]["coefs"]
+                    for bv in range(c["v"]):
+                        for bh in range(c["h"]):
+                            coef = coefs[my * c["v"] + bv,
+                                         mx * c["h"] + bh]
+                            if ah == 0:
+                                diff = decode_dc_arith(
+                                    dec, dc_stats[dc_id], dc_ctx, si,
+                                    cl, cu)
+                                last_dc[cid] += diff
+                                coef[0] = last_dc[cid] << al
+                            else:
+                                decode_dc_refine_arith(dec, coef, al)
+                n_units += 1
+    else:
+        cid, dc_id, ac_id = scan[0]
+        c = by_id[cid]
+        coefs = state[cid]["coefs"]
+        cw = (w * c["h"] + hmax - 1) // hmax
+        chh = (h * c["v"] + vmax - 1) // vmax
+        nbx = (cw + 7) // 8
+        nby = (chh + 7) // 8
+        cl, cu = arith_dc.get(dc_id, (0, 1))
+        kx = arith_ac.get(ac_id, 5)
+        for by in range(nby):
+            for bx in range(nbx):
+                maybe_restart()
+                coef = coefs[by, bx]
+                if ss == 0:
+                    if ah == 0:
+                        diff = decode_dc_arith(
+                            dec, dc_stats[dc_id], dc_ctx, 0, cl, cu)
+                        last_dc[cid] += diff
+                        coef[0] = last_dc[cid] << al
+                    else:
+                        decode_dc_refine_arith(dec, coef, al)
+                elif ah == 0:
+                    stats = ac_stats[ac_id]
+                    k = ss
+                    while k <= se:
+                        k, v = decode_ac_arith(dec, stats, k, kx, se)
+                        if v is None:
+                            break
+                        coef[int(ZIGZAG[k])] = v << al
+                        k += 1
+                else:
+                    decode_ac_refine_arith(
+                        dec, ac_stats[ac_id], coef, ZIGZAG, ss, se, al)
+                n_units += 1
+
+    p = dec.pos
     while p + 1 < len(data):
         if data[p] == 0xFF and data[p + 1] not in (0x00, 0xFF):
             if 0xD0 <= data[p + 1] <= 0xD7:
