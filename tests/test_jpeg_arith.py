@@ -144,3 +144,26 @@ def test_hierarchical_still_boundary(helper):
     data[i + 1] = 0xCB
     with pytest.raises(CodecUnavailable):
         decode_jpeg(bytes(data))
+
+
+def test_arith_restart_intervals(helper):
+    """Restart markers inside arithmetic scans: decoder + statistics
+    re-initialize at every RSTn, sequential and progressive."""
+    rng = np.random.default_rng(12)
+    for gray in (0, 1):
+        shape = (40, 56) if gray else (40, 56, 3)
+        g = rng.integers(0, 256, shape, dtype=np.uint8)
+        for prog in (0, 1):
+            for dri in (1, 3):
+                r = subprocess.run(
+                    [helper, "encode", "56", "40", "75", "1",
+                     str(gray), str(prog), str(dri)],
+                    input=g.tobytes(), capture_output=True)
+                arith = r.stdout
+                assert b"\xff\xdd" in arith           # DRI present
+                huff = subprocess.run(
+                    [helper, "encode", "56", "40", "75", "0",
+                     str(gray), "0", str(dri)],
+                    input=g.tobytes(), capture_output=True).stdout
+                assert np.array_equal(decode_jpeg(arith),
+                                      decode_jpeg(huff)), (gray, prog, dri)

@@ -3,7 +3,7 @@
  * Compiled on demand by tests/test_jpeg_arith.py (skipped when gcc or
  * libjpeg headers are absent); never part of the runtime engine.
  *
- *   jpeghelper encode <w> <h> <quality> <arith 0|1> <gray 0|1> [prog 0|1]
+ *   jpeghelper encode <w> <h> <quality> <arith 0|1> <gray 0|1> [prog 0|1] [dri N]
  *       raw RGB (or gray) on stdin -> JPEG on stdout
  *   jpeghelper decode
  *       JPEG on stdin -> "w h ncomp\n" + raw bytes on stdout
@@ -30,6 +30,7 @@ int main(int argc, char **argv) {
     int w = atoi(argv[2]), h = atoi(argv[3]), q = atoi(argv[4]);
     int arith = atoi(argv[5]), gray = atoi(argv[6]);
     int prog = argc > 7 ? atoi(argv[7]) : 0;
+    int dri = argc > 8 ? atoi(argv[8]) : 0;
     int ch = gray ? 1 : 3;
     size_t need = (size_t)w * h * ch, n;
     unsigned char *rgb = read_all(stdin, &n);
@@ -50,6 +51,7 @@ int main(int argc, char **argv) {
     cinfo.arith_code = arith ? TRUE : FALSE;
     cinfo.optimize_coding = FALSE;
     if (prog) jpeg_simple_progression(&cinfo);
+    if (dri) cinfo.restart_interval = (unsigned int)dri;
     jpeg_start_compress(&cinfo, TRUE);
     while (cinfo.next_scanline < cinfo.image_height) {
       JSAMPROW row = rgb + (size_t)cinfo.next_scanline * w * ch;
