@@ -167,3 +167,27 @@ def test_arith_restart_intervals(helper):
                     input=g.tobytes(), capture_output=True).stdout
                 assert np.array_equal(decode_jpeg(arith),
                                       decode_jpeg(huff)), (gray, prog, dri)
+
+
+def test_non_interleaved_sequential_is_explicit_boundary():
+    """A valid sequential file whose SOS covers only some frame
+    components must raise CodecUnavailable (for both Huffman SOF0 and
+    arithmetic SOF9), not KeyError/garbage — regression for the
+    one-interleaved-scan assumption in both sequential decoders."""
+    import struct
+
+    from unfurl_spark.functions.codecs import CodecUnavailable
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+    for sof in (0xC0, 0xC9):  # SOF0 Huffman, SOF9 arithmetic
+        sof_body = (bytes([8]) + struct.pack(">HH", 8, 8) + bytes([3])
+                    + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0])
+                    + bytes([3, 0x11, 0]))
+        dqt = seg(0xDB, bytes([0]) + bytes(range(1, 65)))
+        sos_body = bytes([1, 1, 0x00, 0, 63, 0])  # ns=1: only comp 1
+        data = (b"\xff\xd8" + dqt + seg(sof, sof_body)
+                + seg(0xDA, sos_body) + b"\x00" * 16 + b"\xff\xd9")
+        with pytest.raises(CodecUnavailable):
+            decode_jpeg(data)

@@ -37,15 +37,24 @@ def test_reverse_term_definition():
     assert "children" not in out[0]
 
 
-def test_reverse_drops_value_objects():
-    # value objects under @reverse are invalid; lenient subset drops them
+def test_reverse_value_objects_drop_whole_graph():
+    # value/list objects under @reverse are "invalid reverse property
+    # value" in jsonld.js; the reference catches the throw and discards
+    # the ENTIRE graph (unfurl-html/src/index.ts:185-189) → expand None
     doc = {
         "@context": {"ex": "http://ex.org/"},
         "@id": "http://ex.org/n",
         "@reverse": {"ex:p": "just a string"},
     }
-    out = expand([doc], BASE)
-    assert out is not None and "@reverse" not in out[0]
+    assert expand([doc], BASE) is None
+    # same for a reverse term definition carrying a value object
+    doc2 = {
+        "@context": {"ex": "http://ex.org/",
+                     "kids": {"@reverse": "ex:parentOf"}},
+        "@id": "http://ex.org/n",
+        "kids": "not a node",
+    }
+    assert expand([doc2], BASE) is None
 
 
 def test_reverse_survives_alongside_forward_props():

@@ -274,3 +274,40 @@ def test_heif_exif_item_camera_tags():
     assert et["camera"]["make"] == "ACME"
     assert et["camera"]["model"] == "Cam-1"
     assert (et["width"], et["height"]) == (64.0, 48.0)
+
+
+def test_heif_exif_item_infe_v3():
+    """infe v3 carries a 32-bit item_ID, shifting item_type to +10 —
+    regression for the fixed-offset read that could never match v3."""
+    import struct
+
+    from unfurl_spark.functions.media import heif_info
+
+    tiff = (b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 1)
+            + struct.pack("<HHII", 0x010F, 2, 5, 26) + struct.pack("<I", 0)
+            + b"AC-3\x00")
+    ftyp = _box(b"ftyp", b"heic" + struct.pack(">I", 0) + b"heic")
+    ispe = _box(b"ispe", b"\x00\x00\x00\x00" + struct.pack(">II", 32, 16))
+    ipco = _box(b"ipco", ispe)
+    pitm = _box(b"pitm", b"\x00\x00\x00\x00" + struct.pack(">H", 1))
+    ipma = _box(b"ipma", b"\x00\x00\x00\x00" + struct.pack(">I", 1)
+                + struct.pack(">HBB", 1, 1, 1))
+    iprp = _box(b"iprp", ipco + ipma)
+    # infe VERSION 3: 32-bit item_ID (=2), 16-bit protection, item_type
+    infe = _box(b"infe", b"\x03\x00\x00\x00" + struct.pack(">IH", 2, 0)
+                + b"Exif\x00\x00")
+    iinf = _box(b"iinf", b"\x00\x00\x00\x00" + struct.pack(">H", 1) + infe)
+    exif_payload = struct.pack(">I", 0) + tiff
+
+    def build(exif_off):
+        iloc = _box(b"iloc", b"\x00\x00\x00\x00" + bytes([0x44, 0x00])
+                    + struct.pack(">H", 1) + struct.pack(">H", 2)
+                    + struct.pack(">H", 0) + struct.pack(">H", 1)
+                    + struct.pack(">II", exif_off, len(exif_payload)))
+        meta = _box(b"meta", b"\x00\x00\x00\x00" + pitm + iinf + iloc + iprp)
+        return ftyp + meta
+
+    data = build(len(build(0))) + exif_payload
+    info = heif_info(data)
+    assert (info["width"], info["height"]) == (32, 16)
+    assert info["exif"]["Make"] == "AC-3"

@@ -235,3 +235,28 @@ def test_decode_alpha_filters_raw():
         filt[y] = f
     chunk = bytes([0 | (1 << 2)]) + filt.astype(np.uint8).tobytes()
     assert np.array_equal(decode_alpha(chunk, 7, 6), plane)
+
+
+def test_filter_level_zero_disables_filter_despite_seg_lf():
+    """libwebp gate (VP8ParseFilterHeader): frame filter_level==0 turns
+    the loop filter off entirely, even with nonzero ABSOLUTE per-segment
+    LF values — pixels must match the segmentation-free stream."""
+    import random
+    rng = random.Random(99)
+    mbs = []
+    for _ in range(4):
+        mb = _empty_mb(ymode=rng.choice([0, 1, 2, 3]),
+                       uvmode=rng.choice([0, 1]))
+        for sb in range(16):
+            for i in rng.sample(range(1, 16), 4):
+                mb["y"][sb][i] = rng.randint(-80, 80)
+        mbs.append(mb)
+    plain = V.decode_vp8(V.encode_vp8(2, 2, mbs, qi=30, filter_level=0))
+    seg = V.decode_vp8(V.encode_vp8(2, 2, mbs, qi=30, filter_level=0,
+                                    seg_lf_abs=[40, 40, 40, 40]))
+    assert np.array_equal(plain, seg)
+    # sanity: with a nonzero frame level the filter DOES run and the
+    # absolute segment value drives it (different from the plain stream)
+    filt = V.decode_vp8(V.encode_vp8(2, 2, mbs, qi=30, filter_level=1,
+                                     seg_lf_abs=[40, 40, 40, 40]))
+    assert not np.array_equal(plain, filt)

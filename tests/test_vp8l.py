@@ -377,3 +377,63 @@ def test_webp_anim_sample_frames(spark):
     assert len(rows) == 3
     assert all(r.ok == "ok" for r in rows)
     assert [r.frame_ts_ms for r in rows] == [0, 100, 200]
+
+
+def test_webp_anim_alpha_over_partially_transparent_canvas():
+    """Container-spec over operator (regression): a blend frame over a
+    PARTIALLY transparent canvas must weight the destination RGB by the
+    destination alpha — a_out = a_s + a_d*(1-a_s), not max(a_d, a_s)."""
+    import struct
+    from unfurl_spark.functions.vp8l import (
+        decode_webp_frames,
+        encode_vp8l,
+    )
+
+    def chunk(tag, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def anmf(img, dur, flags):
+        riff = encode_vp8l(np.ascontiguousarray(img))
+        essence_len = struct.unpack("<I", riff[16:20])[0]
+        essence = riff[20:20 + essence_len]
+        h, w = img.shape[:2]
+        return chunk(b"ANMF", b"\x00" * 6
+                     + (w - 1).to_bytes(3, "little")
+                     + (h - 1).to_bytes(3, "little")
+                     + int(dur).to_bytes(3, "little")
+                     + bytes([flags]) + chunk(b"VP8L", essence))
+
+    h, w = 6, 8
+    base = np.zeros((h, w, 4), np.uint8)
+    base[..., 0] = 200          # red, half-transparent canvas
+    base[..., 3] = 128
+    top = np.zeros((h, w, 4), np.uint8)
+    top[..., 2] = 60            # blue, alpha 100, BLEND flag (0x00)
+    top[..., 3] = 100
+    body = (chunk(b"VP8X", bytes([0x02]) + b"\x00" * 3
+                  + (w - 1).to_bytes(3, "little")
+                  + (h - 1).to_bytes(3, "little"))
+            + chunk(b"ANIM", struct.pack("<IH", 0, 0))
+            + anmf(base, 40, 0x02)      # no-blend: paints the canvas
+            + anmf(top, 40, 0x00))      # blend: spec over operator
+    data = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+    got = decode_webp_frames(data)
+    assert len(got) == 2
+    final = got[1][0]
+    a_s, a_d = 100, 128
+    wd = a_d * (255 - a_s) // 255           # 77
+    a_out = a_s + wd                        # 177
+    assert int(final[0, 0, 3]) == a_out
+    assert int(final[0, 0, 0]) == (200 * wd) // a_out       # dst red
+    assert int(final[0, 0, 2]) == (60 * a_s) // a_out       # src blue
+    # fully transparent src over fully transparent dst stays (0,0,0,0)
+    clear = np.zeros((h, w, 4), np.uint8)
+    body2 = (chunk(b"VP8X", bytes([0x02]) + b"\x00" * 3
+                   + (w - 1).to_bytes(3, "little")
+                   + (h - 1).to_bytes(3, "little"))
+             + chunk(b"ANIM", struct.pack("<IH", 0, 0))
+             + anmf(clear, 40, 0x02) + anmf(clear, 40, 0x00))
+    data2 = b"RIFF" + struct.pack("<I", 4 + len(body2)) + b"WEBP" + body2
+    assert not decode_webp_frames(data2)[1][0].any()

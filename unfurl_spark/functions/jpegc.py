@@ -305,6 +305,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for si in range(ns):
                 cid, tids = body[1 + 2 * si], body[2 + 2 * si]
                 scan.append((cid, tids >> 4, tids & 15))
+            if not progressive and len(scan) != len(frame[2]):
+                # both sequential decoders (Huffman and arithmetic)
+                # assume ONE interleaved scan covering every frame
+                # component; a valid non-interleaved multi-SOS
+                # sequential file is an explicit boundary, not a
+                # KeyError/garbage-pixels surprise
+                raise CodecUnavailable(
+                    "jpeg: non-interleaved sequential multi-scan")
             if arithmetic and not progressive:
                 return _decode_scan_arith(
                     data, pos + 2 + seg_len, frame, scan, qtables,
@@ -412,7 +420,10 @@ def _decode_scan_arith(data, pos, frame, scan, qtables, arith_dc,
                        arith_ac, restart_interval) -> np.ndarray:
     """Sequential arithmetic-coded scan (SOF9): same MCU walk and
     reconstruction as _decode_scan with the QM entropy decoder from
-    jpegarith (T.81 §F.2.4) in place of Huffman."""
+    jpegarith (T.81 §F.2.4) in place of Huffman.  Like _decode_scan,
+    expects ONE interleaved scan covering every frame component — the
+    dispatcher rejects non-interleaved multi-SOS sequential files with
+    CodecUnavailable before either is called."""
     from .jpegarith import ArithDecoder, decode_ac_arith, decode_dc_arith
 
     w, h, comps = frame

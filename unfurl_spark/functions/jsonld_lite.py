@@ -235,9 +235,11 @@ def expand_node(ctx: Context, element: object, store: dict | None,
             continue
         if ekey == "@reverse":
             # JSON-LD 1.0 §8.1 expansion of the @reverse map: each
-            # property expands vocab-mode; only node objects survive
-            # (value/list objects under @reverse are dropped, lenient
-            # where the spec errors)
+            # property expands vocab-mode; only node objects are legal
+            # — a value/list object under @reverse is an "invalid
+            # reverse property value" error in jsonld.js, which the
+            # reference catches by discarding the ENTIRE graph
+            # (normalize → None), so raise and let expand() return None
             if isinstance(value, dict):
                 rmap = node.setdefault("@reverse", {})
                 for rkey, rval in value.items():
@@ -248,6 +250,9 @@ def expand_node(ctx: Context, element: object, store: dict | None,
                     items = ex if isinstance(ex, list) else                         [ex] if ex is not None else []
                     nodes = [n for n in items if isinstance(n, dict)
                              and "@value" not in n and "@list" not in n]
+                    if len(nodes) != len(items):
+                        raise ExpansionError(
+                            "invalid reverse property value")
                     if nodes:
                         rmap.setdefault(rprop, []).extend(nodes)
                 if not rmap:
@@ -269,6 +274,10 @@ def expand_node(ctx: Context, element: object, store: dict | None,
                 items = ex if isinstance(ex, list) else                     [ex] if ex is not None else []
                 nodes = [n for n in items if isinstance(n, dict)
                          and "@value" not in n and "@list" not in n]
+                if len(nodes) != len(items):
+                    # same jsonld.js "invalid reverse property value"
+                    # → reference drops the whole graph
+                    raise ExpansionError("invalid reverse property value")
                 if nodes:
                     node.setdefault("@reverse", {})                         .setdefault(rprop, []).extend(nodes)
             continue

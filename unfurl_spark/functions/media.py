@@ -636,7 +636,10 @@ def _heif_exif_blob(data: bytes, meta_start: int, meta_end: int):
             if itype != b"infe" or ie - is_ < 8:
                 continue
             iv = data[is_]
-            if iv >= 2 and data[is_ + 8:is_ + 12] == b"Exif":
+            # infe v2: 16-bit item_ID → item_type at +8;
+            # infe v3: 32-bit item_ID → item_type at +10
+            toff = is_ + (8 if iv == 2 else 10)
+            if iv >= 2 and data[toff:toff + 4] == b"Exif":
                 exif_item = int.from_bytes(data[is_ + 4:is_ + 6], "big")                     if iv == 2 else int.from_bytes(
                         data[is_ + 4:is_ + 8], "big")
                 break

@@ -10,13 +10,17 @@ image/audio/video payloads at 100 TB.
 Spark-side plumbing (schemas, salt partitioning, Arrow batch shape,
 byte caps) is real and tested, and so is the pixel path for the
 formats the pure-stdlib codecs in ``codecs.py``/``jpegc.py``/
-``vp8l.py``/``codecs_ext.py`` cover: PNG (+APNG frames), JPEG
-(baseline + progressive), GIF, BMP, PPM, lossless WebP (VP8L), ICO
-favicons, baseline TIFF images, and PCM WAV + FLAC + AIFF audio decode to
-real pixels/samples, feed a real box-filter resize and real feature
-statistics; SVG yields real intrinsic dimensions (rasterization out
-of scope).  Formats whose essence needs an out-of-container codec
-(WebP VP8 lossy, MP4/H.264, WebM, MP3) raise ``CodecUnavailable`` and
+``vp8l.py``/``vp8.py``/``codecs_ext.py`` cover: PNG (+APNG frames), JPEG
+(baseline + progressive + arithmetic-coded SOF9/SOF10), GIF, BMP, PPM,
+WebP both flavors — VP8L lossless AND VP8 lossy key frames (RFC 6386
+from scratch, bit-exact vs libwebp) with ALPH alpha and ANMF animation
+frames — ICO favicons, baseline TIFF images, and PCM WAV + FLAC + AIFF
+audio decode to real pixels/samples, feed a real box-filter resize and
+real feature statistics; SVG yields real intrinsic dimensions
+(rasterization out of scope).  Formats whose essence needs an
+out-of-container codec (MP4/H.264, WebM/VP9 video essence, MP3/AAC
+audio essence — container metadata for all of these IS parsed, see
+``media.py``) raise ``CodecUnavailable`` and
 fall back to a deterministic payload-hash fake — the honest boundary
 in this environment, visible per-row in the ``ok`` lineage column.
 

@@ -930,7 +930,12 @@ def decode_vp8_yuv(data: bytes):
                                      4 if full else min(entry[1], 1))
         infos.append(inforow)
 
-    if h.filter_level > 0 or (h.segmentation and any(h.seg_lf)):
+    # libwebp/libvpx gate (VP8ParseFilterHeader: filter_type_ =
+    # level_ == 0 ? 0 : ...): a frame-level filter_level of 0 disables
+    # the loop filter entirely, even when segment LF deltas (including
+    # absolute-mode values) are nonzero — matching them bit-exactly
+    # trumps the RFC-literal per-segment reading here
+    if h.filter_level > 0:
         _loop_filter(h, (yp, up, vp), mb_w, mb_h, infos)
 
     cw, ch = (h.width + 1) // 2, (h.height + 1) // 2
@@ -1143,7 +1148,8 @@ def _put_tokens(be: BoolEncoder, probs: bytes, plane: int, ctx: int,
 
 def encode_vp8(mb_w: int, mb_h: int, mbs: list, qi: int = 20,
                filter_level: int = 0, filter_type: int = 0,
-               sharpness: int = 0) -> bytes:
+               sharpness: int = 0,
+               seg_lf_abs: list | None = None) -> bytes:
     """Fixture writer: legal VP8 keyframe from explicit per-MB mode and
     quantized-coefficient records — no RD search, default probabilities.
     Each record: {ymode, bmodes[16], uvmode, y2[16], y[16][16],
@@ -1153,7 +1159,26 @@ def encode_vp8(mb_w: int, mb_h: int, mbs: list, qi: int = 20,
     be = BoolEncoder()
     be.literal(0, 1)            # color space
     be.literal(0, 1)            # clamping
-    be.literal(0, 1)            # segmentation off
+    if seg_lf_abs is None:
+        be.literal(0, 1)        # segmentation off
+    else:
+        # segmentation on, no map update, ABSOLUTE per-segment loop
+        # filter values — the adversarial corner for the libwebp
+        # filter_level==0 gate (all MBs land in segment 0)
+        be.literal(1, 1)        # segmentation on
+        be.literal(0, 1)        # update_map = 0
+        be.literal(1, 1)        # update_data = 1
+        be.literal(1, 1)        # seg_abs = 1
+        for _ in range(4):
+            # absolute mode absolutes the quantizer too — pin every
+            # segment's quant to the frame qi so only the LF differs
+            be.literal(1, 1)
+            be.literal(qi, 7)
+            be.literal(0, 1)    # sign +
+        for v in seg_lf_abs:
+            be.literal(1, 1)    # lf value present
+            be.literal(abs(v), 6)
+            be.literal(1 if v < 0 else 0, 1)
     be.literal(filter_type, 1)
     be.literal(filter_level, 6)
     be.literal(sharpness, 3)

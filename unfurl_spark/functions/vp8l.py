@@ -484,8 +484,12 @@ def decode_alpha(chunk: bytes, w: int, h: int) -> np.ndarray:
 
 
 def decode_webp(data: bytes) -> np.ndarray:
-    """RIFF WebP container → pixels.  Lossless (VP8L) decodes for real;
-    lossy (VP8) stays the honest ``CodecUnavailable`` boundary."""
+    """RIFF WebP container → pixels.  Both flavors decode for real:
+    lossless (VP8L, RFC 9649) here, lossy key frames (VP8, RFC 6386)
+    via ``vp8.decode_vp8`` — bit-exact vs libwebp in test_vp8.py.
+    Only VP8 inter frames (animation sub-frames that reference a prior
+    frame) remain a ``CodecUnavailable`` boundary, raised inside
+    ``vp8.py`` itself."""
     if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise CodecError("webp: bad container")
     i, n = 12, len(data)
@@ -991,12 +995,21 @@ def decode_webp_frames(data: bytes, max_frames: int | None = None
         if no_blend:
             target[:] = region
         else:
-            a = region[:, :, 3:4].astype(np.uint16)
-            inv = 255 - a
-            target[:, :, :3] = ((region[:, :, :3] * a
-                                 + target[:, :, :3] * inv) // 255
-                                ).astype(np.uint8)
-            target[:, :, 3:4] = np.maximum(target[:, :, 3:4], region[:, :, 3:4])
+            # container-spec alpha-over on a NON-premultiplied canvas
+            # (both src and dst alphas weight the RGB — a src blended
+            # over a partially transparent canvas must not inherit the
+            # canvas RGB at full weight):
+            #   a_out = a_s + a_d*(1-a_s)
+            #   rgb_out = (rgb_s*a_s + rgb_d*a_d*(1-a_s)) / a_out
+            a_s = region[:, :, 3:4].astype(np.uint32)
+            a_d = target[:, :, 3:4].astype(np.uint32)
+            wd = a_d * (255 - a_s) // 255          # dst weight, 0..255
+            a_out = a_s + wd
+            num = (region[:, :, :3].astype(np.uint32) * a_s
+                   + target[:, :, :3].astype(np.uint32) * wd)
+            den = np.where(a_out == 0, 1, a_out)
+            target[:, :, :3] = (num // den).astype(np.uint8)
+            target[:, :, 3:4] = a_out.astype(np.uint8)
         out.append((canvas.copy(), ts))
         ts += dur
         if dispose_bg:

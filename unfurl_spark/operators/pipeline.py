@@ -55,49 +55,119 @@ def _bvalue(b):
     return _WORKER_BROADCAST_CACHE[key]
 
 
-def session(app: str = "unfurl_spark", master: str | None = None,
-            shuffle_partitions: int = 32) -> SparkSession:
-    """Engine session defaults: AQE on, Arrow on, bounded batches."""
+def session_configs(profile: str = "local", master: str | None = None,
+                    shuffle_partitions: int = 32,
+                    checkpoint_dir: str | None = None) -> dict[str, str]:
+    """The engine's Spark config set as a pure, testable function of the
+    deployment profile (SCALE.md "Input layout" / "Side tables").
+
+    ``profile="local"`` — this sandbox: single JVM, one shared memory bus,
+    a handful of small parquet files.  ``profile="cluster"`` — the
+    north-rule deployment: 1000 executors reading ~400k × 256 MB Iceberg
+    parquet files over a network.  The two differ exactly where the
+    hardware differs:
+
+    * ``maxPartitionBytes`` — local 1 MB keeps the scan of a single
+      ~160 MB test file as parallel as the box; at 100 TB a 1 MB split
+      size would mean ~10^8 scheduler tasks (driver listing/scheduling
+      blow-up), so cluster uses 256 MB, matching the table's file size
+      (one split per file, ~400k tasks).
+    * shuffle compression — local shuffle bytes never cross a network
+      (tmpfs, measured ~5% pure CPU loss from lz4) so it's off; cluster
+      shuffles ~100 TB worker-to-worker, compression stays on (default).
+    * ``spark.local.dir`` — local uses /dev/shm to keep /tmp jitter out
+      of the scaling signal; cluster leaves it to the site's node-local
+      NVMe configuration.
+    * checkpoint dir — cluster jobs set a durable (DFS) checkpoint dir so
+      the driver's resumable bucket loop (plans/driver.py) and any
+      truncated lineage survive executor loss; meaningless on one box.
+    * executor shape — cluster pins the SCALE.md arithmetic (16 cores ×
+      16 GB; ~5 GB steady-state per executor leaves 3× headroom for the
+      skew tail); local mode has no executors to shape.
+    """
     import os
 
-    b = SparkSession.builder.appName(app)
-    if master:
-        b = b.master(master)
-    if master and master.startswith("local"):
-        if os.path.isdir("/dev/shm"):
-            # local-mode-ONLY shuffle files on tmpfs: a real cluster writes
-            # shuffle to node-local NVMe (RAM-backed tmpfs would blow up at
-            # scale); on this box /tmp jitter (2× trial variance, measured)
-            # would otherwise dominate the scaling signal
-            b = b.config("spark.local.dir", "/dev/shm/spark-tmp")
-        # shuffle blocks never cross a network in local mode and tmpfs
-        # bytes are free — lz4 is pure CPU overhead here (~5% measured);
-        # cluster deployments keep the compressed default
-        b = (b.config("spark.shuffle.compress", "false")
-             .config("spark.shuffle.spill.compress", "false"))
-    return (
+    common = {
         # moderate heap: measured on this box, a 48g heap made G1 regions
         # huge and scan+shuffle stages 3-4× slower/noisier than 16g; 16g
         # comfortably holds 32 concurrent document-batch tasks
-        b.config("spark.driver.memory", "16g")
-        .config("spark.driver.maxResultSize", "8g")
+        "spark.driver.memory": "16g",
+        "spark.driver.maxResultSize": "8g",
         # pin the SQL timezone: pandas-side kernels (the stateful
         # sessionizer) read tz-naive timestamps rendered in the SESSION
         # zone and re-emit them as UTC instants — on a non-UTC host the
         # default (JVM local zone) would shift every emitted timestamp
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # nested-document files are dense: smaller splits keep the scan
-        # stage as parallel as the cluster, not as the file layout
-        .config("spark.sql.files.maxPartitionBytes", "1m")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
-                str(DEFAULT_ARROW_BATCH))
-        .config("spark.python.worker.faulthandler.enabled", "true")
-        .getOrCreate()
-    )
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # skew backstop for the media join's hot media_refs (SCALE.md)
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch":
+            str(DEFAULT_ARROW_BATCH),
+        "spark.python.worker.faulthandler.enabled": "true",
+    }
+    if profile == "cluster":
+        common.update({
+            # one split per ~256 MB Iceberg data file: ~400k tasks at
+            # 100 TB, not the ~10^8 a 1 MB split size would produce
+            "spark.sql.files.maxPartitionBytes": "256m",
+            "spark.executor.memory": "16g",
+            "spark.executor.cores": "16",
+            # kernel stage is CPU-bound; default parallelism follows cores
+            "spark.executor.memoryOverhead": "4g",
+            # pyspark workers (the mapInArrow kernels) live outside the
+            # JVM heap: SCALE.md's ~5 GB/executor steady state
+            "spark.executor.pyspark.memory": "6g",
+            "spark.shuffle.compress": "true",
+            "spark.shuffle.spill.compress": "true",
+            # large shuffles: fewer, bigger fetch requests
+            "spark.reducer.maxSizeInFlight": "96m",
+            "spark.shuffle.file.buffer": "1m",
+            # decommission/retry hygiene for thousand-executor fleets
+            "spark.stage.maxConsecutiveAttempts": "8",
+            "spark.checkpoint.dir": checkpoint_dir or "/tmp/unfurl-ckpt",
+        })
+    else:
+        common["spark.sql.files.maxPartitionBytes"] = "1m"
+        if master and master.startswith("local"):
+            if os.path.isdir("/dev/shm"):
+                # local-mode-ONLY shuffle files on tmpfs: a real cluster
+                # writes shuffle to node-local NVMe (RAM-backed tmpfs would
+                # blow up at scale); on this box /tmp jitter (2× trial
+                # variance, measured) would otherwise dominate the scaling
+                # signal
+                common["spark.local.dir"] = "/dev/shm/spark-tmp"
+            # shuffle blocks never cross a network in local mode and tmpfs
+            # bytes are free — lz4 is pure CPU overhead here (~5% measured)
+            common["spark.shuffle.compress"] = "false"
+            common["spark.shuffle.spill.compress"] = "false"
+        if checkpoint_dir:
+            common["spark.checkpoint.dir"] = checkpoint_dir
+    return common
+
+
+def session(app: str = "unfurl_spark", master: str | None = None,
+            shuffle_partitions: int = 32, profile: str | None = None,
+            checkpoint_dir: str | None = None) -> SparkSession:
+    """Engine session defaults: AQE on, Arrow on, bounded batches.
+
+    ``profile`` defaults by master: ``local[...]``/unset → "local"
+    (sandbox values), anything else (yarn, k8s://, spark://) →
+    "cluster" (SCALE.md deployment values).  See ``session_configs``.
+    """
+    if profile is None:
+        profile = ("local" if master is None or master.startswith("local")
+                   else "cluster")
+    b = SparkSession.builder.appName(app)
+    if master:
+        b = b.master(master)
+    for k, v in session_configs(profile, master=master,
+                                shuffle_partitions=shuffle_partitions,
+                                checkpoint_dir=checkpoint_dir).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
 
 
 def dedup_on_key(df: DataFrame, key: str) -> DataFrame:
