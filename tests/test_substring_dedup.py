@@ -1,0 +1,86 @@
+"""Suffix-granularity substring dedup (Lee et al. 2022 §4.1): stride-1
+sliding windows catch duplicated passages at ANY offset — including the
+shifted overlaps the fixed 8-word chunk grid (dedup_exact_chunks)
+structurally misses."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from unfurl_spark.operators.queries import QUERIES
+
+SF_BASE = "/root/testdata/sf0.001"
+
+
+def _link_other_tables(tmp_path):
+    # load_views registers every engine table; borrow sf0.001 for the
+    # ones this test doesn't shape
+    for f in os.listdir(SF_BASE):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            os.symlink(os.path.join(SF_BASE, f), str(tmp_path / f))
+
+
+def _mkdocs(tmp_path):
+    # doc 2 repeats doc 1's 20-word passage shifted by THREE words:
+    # every 8-word grid chunk of the passage straddles a different grid
+    # boundary in each doc, so exact-chunk finds nothing; any 16-word
+    # stride-1 window inside the passage matches exactly.
+    passage = " ".join(f"p{i}" for i in range(20))
+    filler_a = " ".join(f"a{i}" for i in range(8))
+    filler_b = " ".join(f"b{i}" for i in range(11))
+    filler_c = " ".join(f"c{i}" for i in range(9))
+    unique = " ".join(f"u{i}" for i in range(40))
+    docs = {
+        "doc_id": [1, 2, 3],
+        "text": [f"{filler_a} {passage} {filler_c}",
+                 f"{filler_b} {passage}",
+                 unique],
+        "lang": ["en"] * 3,
+        "source": ["web"] * 3,
+        "n_chars": [0, 0, 0],
+    }
+    pq.write_table(pa.table(docs), str(tmp_path / "documents.parquet"))
+    _link_other_tables(tmp_path)
+    return str(tmp_path)
+
+
+@pytest.mark.usefixtures("spark")
+def test_shifted_passage_caught_windows_missed_by_grid(spark, tmp_path):
+    sf = _mkdocs(tmp_path)
+    grid = {r["doc_id"]: r for r in
+            QUERIES["dedup_exact_chunks"][0](spark, sf).collect()}
+    win = {r["doc_id"]: r for r in
+           QUERIES["dedup_substring_windows"][0](spark, sf).collect()}
+    # the 8-word grid sees no duplicate chunk (alignment shifted by 3)
+    assert grid[1]["n_dup_chunks"] == 0
+    assert grid[2]["n_dup_chunks"] == 0
+    # stride-1 windows flag the shared passage in both docs:
+    # a 20-word passage holds 5 full 16-word windows
+    assert win[1]["n_dup_windows"] == 5
+    assert win[2]["n_dup_windows"] == 5
+    assert win[1]["dup_frac"] > 0
+    # the unique doc stays clean
+    assert win[3]["n_dup_windows"] == 0
+
+
+@pytest.mark.usefixtures("spark")
+def test_identical_docs_fully_flagged(spark, tmp_path):
+    text = " ".join(f"w{i}" for i in range(30))
+    docs = {
+        "doc_id": [10, 11],
+        "text": [text, text],
+        "lang": ["en"] * 2,
+        "source": ["web"] * 2,
+        "n_chars": [0, 0],
+    }
+    pq.write_table(pa.table(docs), str(tmp_path / "documents.parquet"))
+    _link_other_tables(tmp_path)
+    win = {r["doc_id"]: r for r in
+           QUERIES["dedup_substring_windows"][0](spark, str(tmp_path))
+           .collect()}
+    for d in (10, 11):
+        assert win[d]["n_windows"] == 15        # 30-16+1
+        assert win[d]["n_dup_windows"] == 15
+        assert win[d]["dup_frac"] == 1.0

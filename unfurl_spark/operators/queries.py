@@ -1507,6 +1507,48 @@ chunks AS (
   FROM ix)
 """ + _CHUNK_BODY)
 
+# Suffix-granularity exact-substring dedup (Lee et al. 2022 §4.1): the
+# fixed 8-word grid above misses duplicate passages that start at a
+# shifted offset (doc B repeats doc A's sentence 3 words later → no
+# grid chunk matches).  Stride-1 sliding windows of 16 words catch a
+# duplicated substring at ANY alignment, the DataFrame stand-in for the
+# paper's suffix array.  Scale shape: windowing amplifies shuffle rows
+# ~16× but each row is (window, doc_id) and the group-by is an exact
+# equi-key — at 100 TB the production plan inserts an xxhash64(window)
+# pre-pass so only 8-byte keys shuffle (collisions re-verified on the
+# surviving <<1% candidates); the string-keyed form here is the
+# oracle-parity twin.  DISTINCT per doc first so an internally repeated
+# window doesn't self-mark a doc as cross-doc duplicated.
+_WIN_BODY = """
+, dwin AS (SELECT DISTINCT doc_id, win FROM win),
+dup AS (
+  SELECT win FROM dwin GROUP BY win HAVING count(*) > 1
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(count(p.win) AS BIGINT) AS n_dup_windows,
+       round(CAST(count(p.win) AS DOUBLE) / count(*), 4) AS dup_frac
+FROM dwin d LEFT JOIN dup p ON d.win = p.win
+GROUP BY d.doc_id
+"""
+_q("dedup_substring_windows", """
+WITH wd AS (SELECT doc_id, split(text, ' ') AS w FROM documents
+            WHERE size(split(text, ' ')) >= 16),
+win AS (
+  SELECT doc_id,
+         explode(transform(sequence(1, size(w) - 15),
+                 i -> array_join(slice(w, i, 16), ' '))) AS win
+  FROM wd)
+""" + _WIN_BODY, """
+WITH wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE len(string_split(text, ' ')) >= 16),
+ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 15)) AS i
+       FROM wd),
+win AS (
+  SELECT doc_id, array_to_string(list_slice(w, i, i + 15), ' ') AS win
+  FROM ix)
+""" + _WIN_BODY)
+
 # Unigram Shannon entropy per document — a standard quality-filter feature
 # (low-entropy docs are boilerplate/spam).  Two partial-agg shuffles on
 # (doc_id, word) then doc_id; map-side combine keeps both narrow.
