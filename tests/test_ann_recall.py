@@ -133,3 +133,44 @@ WHERE list_dot_product(a.v, c.v)
     theory = (1 - theta / math.pi) ** 8
     assert theory / 3 <= max(measured, 1e-9) <= theory * 3, (
         f"bucket collision {measured} vs theory {theory}")
+
+
+def test_ivf_kmeans_recall_and_codebook_quality(spark):
+    """The trained (3-Lloyd-iteration) codebook must (a) keep
+    brute-force recall@10 at the floor, (b) strictly improve the
+    k-means objective — mean cosine of each vector to its assigned
+    centroid — over the sampled seed (Lloyd is monotone), and (c) not
+    worsen the largest cell (the probe-stage skew bound at scale).
+    Measured at sf0.01: objective 0.246 → 0.329 (+34%), max cell
+    42 → 38, all 16 cells alive, recall@10 0.9 at 2 probes (the seed's
+    1.0 comes from lopsided cells that prune almost nothing)."""
+    import duckdb
+
+    from unfurl_spark.operators import queries as q
+
+    brute = set(_brute_ids(spark, 10))
+    km = {r.vec_id
+          for r in q.QUERIES["ann_ivf_kmeans_topk"][0](spark, SF_DIR)
+          .collect()}
+    recall_km = len(brute & km) / 10
+    assert recall_km >= 0.9, f"k-means IVF recall@10 {recall_km} < 0.9"
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{SF_DIR}/embeddings.parquet'")
+    cte = q._ivf_kmeans_cte(
+        q._ddot, "list_transform(embedding, x -> CAST(x AS DOUBLE))",
+        q._avg_vec_duck())
+    (seed_obj, trained_obj, seed_maxcell, trained_maxcell,
+     trained_cells) = con.execute(cte + """
+SELECT (SELECT avg(cos) FROM a1 WHERE rn = 1) AS seed_obj,
+       (SELECT avg(cos) FROM a4 WHERE rn = 1) AS trained_obj,
+       (SELECT max(c) FROM (SELECT count(*) AS c FROM a1
+                            WHERE rn = 1 GROUP BY cent_id)) AS seed_max,
+       (SELECT max(c) FROM (SELECT count(*) AS c FROM a4
+                            WHERE rn = 1 GROUP BY cent_id)) AS trained_max,
+       (SELECT count(DISTINCT cent_id) FROM a4 WHERE rn = 1) AS n_cells
+""").fetchone()
+    assert trained_obj > seed_obj, (seed_obj, trained_obj)
+    assert trained_maxcell <= seed_maxcell, (seed_maxcell, trained_maxcell)
+    assert trained_cells == 16    # no cell collapsed during training

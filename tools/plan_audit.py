@@ -163,6 +163,10 @@ PIPELINE_CHECKS = [
 BNL_ALLOWED = {
     "ann_cosine_topk": (1, "cross join against the single query-vector row"),
     "ann_ivf_topk": (3, "16-row sampled codebook + 1-row query vector"),
+    "ann_ivf_kmeans_topk":
+        (9, "4 Lloyd/assign passes against the ≤16-row codebook + 1-row "
+            "query vector; CTE inlining re-expands the final assign "
+            "subtree under both cells and qprobe (build sides all tiny)"),
     "tfidf_top_terms": (1, "cross join against the 1-row corpus-size agg"),
     "text_lm_logprob": (1, "cross join against the 1-row token-total agg"),
 }

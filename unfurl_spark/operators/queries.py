@@ -806,6 +806,93 @@ _q("ann_ivf_topk",
    _ivf_sql(_sdot, "transform(embedding, x -> CAST(x AS DOUBLE))"),
    _ivf_sql(_ddot, "list_transform(embedding, x -> CAST(x AS DOUBLE))"))
 
+# IVF with a REAL k-means codebook: 3 unrolled Lloyd iterations refine the
+# sampled seed above (assign = the same narrow n×16 broadcast pass;
+# re-center = one GROUP BY cell with 64 per-dimension avg() columns —
+# map-side partial agg, no explode, no collect).  Centroid components are
+# rounded to 6 decimals so the FP summation order of avg() can't flip an
+# assignment between Spark and DuckDB — the whole training loop is plain
+# SQL in BOTH dialects, so this iterative algorithm still gets the full
+# three-gate oracle.  At 100 TB: train on a sampled partition (centroids
+# are corpus statistics), write the table partitioned by `cell`, and the
+# probe stays a partition-pruned scan; each Lloyd pass is one broadcast
+# projection + one 16-group aggregate, nothing quadratic.  Codebook
+# quality vs the sampled stand-in is asserted in tests/test_ann_recall.py.
+_KM_ITERS = 3
+
+
+def _avg_vec_spark() -> str:
+    return ("array(" + ", ".join(
+        f"round(avg(v[{j}]), 6)" for j in range(_EMB_DIM)) + ")")
+
+
+def _avg_vec_duck() -> str:
+    return ("[" + ", ".join(
+        f"round(avg(v[{j + 1}]), 6)" for j in range(_EMB_DIM)) + "]")
+
+
+def _ivf_kmeans_cte(dot, to_double, avg_vec, iters=_KM_ITERS):
+    """WITH-clause prefix ending at the final assignment CTE a{iters+1}
+    (rows: vec_id, label, v, nrm, cent_id, rn) — shared by the top-k
+    query below and the codebook-quality measurement in
+    tests/test_ann_recall.py."""
+    sql = f"""
+WITH vecs AS (
+  SELECT vec_id, label, v, sqrt({dot('v', 'v')}) AS nrm
+  FROM (SELECT vec_id, label, {to_double} AS v FROM embeddings)
+), cent0 AS (
+  SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+  FROM vecs WHERE vec_id < {_N_CENTROIDS}
+)"""
+    last = iters + 1          # final pass assigns against trained centroids
+    for i in range(1, last + 1):
+        sql += f""", a{i} AS (
+  SELECT vec_id, label, v, nrm, cent_id, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, cent_id) AS rn
+  FROM (
+    SELECT t.vec_id, t.label, t.v, t.nrm, c.cent_id,
+           {dot('t.v', 'c.cv')} / (t.nrm * c.cnrm) AS cos
+    FROM vecs t CROSS JOIN cent{i - 1} c
+  )
+)"""
+        if i <= iters:
+            sql += f""", cm{i} AS (
+  SELECT cent_id, {avg_vec} AS cv
+  FROM a{i} WHERE rn = 1 GROUP BY cent_id
+), cent{i} AS (
+  SELECT cent_id, cv, sqrt({dot('cv', 'cv')}) AS cnrm FROM cm{i}
+)"""
+    return sql
+
+
+def _ivf_kmeans_sql(dot, to_double, avg_vec, iters=_KM_ITERS):
+    last = iters + 1
+    sql = _ivf_kmeans_cte(dot, to_double, avg_vec, iters)
+    sql += f""", cells AS (
+  SELECT vec_id, label, v, nrm, cent_id AS cell FROM a{last} WHERE rn = 1
+), qprobe AS (
+  SELECT cent_id AS cell FROM a{last} WHERE vec_id = 0 AND rn <= {_N_PROBE}
+), q AS (
+  SELECT v AS qv, nrm AS qnrm FROM vecs WHERE vec_id = 0
+)
+SELECT c.vec_id, c.label,
+       round({dot('c.v', 'q.qv')} / (c.nrm * q.qnrm), 3) AS cosine
+FROM cells c JOIN qprobe p ON c.cell = p.cell CROSS JOIN q
+WHERE c.vec_id <> 0
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+    return sql
+
+
+_q("ann_ivf_kmeans_topk",
+   _ivf_kmeans_sql(_sdot, "transform(embedding, x -> CAST(x AS DOUBLE))",
+                   _avg_vec_spark()),
+   _ivf_kmeans_sql(_ddot,
+                   "list_transform(embedding, x -> CAST(x AS DOUBLE))",
+                   _avg_vec_duck()))
+
 # ---------------------------------------------------------------------------
 # text analysis family
 
