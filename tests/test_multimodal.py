@@ -325,3 +325,76 @@ def test_extract_features_zero_sample_wav_no_nan(spark):
     assert r["ok"].startswith("err:")
     assert all(not math.isnan(v) for v in r["embedding"])
     assert abs(sum(x * x for x in r["embedding"]) - 1.0) < 1e-4
+
+
+def _mp4_with_covr(png: bytes) -> bytes:
+    import struct as _s
+
+    def box(tag, body):
+        return _s.pack(">I", 8 + len(body)) + tag + body
+
+    ftyp = box(b"ftyp", b"isom" + _s.pack(">I", 0) + b"isomavc1")
+    mvhd = box(b"mvhd", b"\x00" + b"\x00" * 3 + _s.pack(">IIII", 0, 0, 1000, 8000))
+    data_atom = box(b"data", _s.pack(">II", 14, 0) + png)  # 14 = PNG
+    ilst = box(b"ilst", box(b"covr", data_atom))
+    meta = box(b"meta", b"\x00\x00\x00\x00" + ilst)
+    udta = box(b"udta", meta)
+    moov = box(b"moov", mvhd + udta)
+    return ftyp + moov
+
+
+def _mp3_with_apic(png: bytes) -> bytes:
+    import struct as _s
+    body = (b"\x00"                    # encoding: latin-1
+            + b"image/png\x00"         # MIME
+            + b"\x03"                  # picture type: front cover
+            + b"cover\x00"             # description
+            + png)
+    frame = b"APIC" + _s.pack(">I", len(body)) + b"\x00\x00" + body
+    tag_body = frame
+
+    def syncsafe(n):
+        return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                      (n >> 7) & 0x7F, n & 0x7F])
+
+    id3 = b"ID3" + bytes([3, 0, 0]) + syncsafe(len(tag_body)) + tag_body
+    # one valid MPEG1 Layer3 frame header so the sniffer keeps "mp3"
+    return id3 + b"\xff\xfb\x90\x00" + b"\x00" * 100
+
+
+def test_cover_art_thumbnails_mp4_covr_and_id3_apic(spark):
+    """MP4 covr / ID3 APIC cover art (ffmpeg's attached_pic) decodes to
+    REAL pixels: decode_media reports ok='ok' with the cover's dims for
+    mp3, sample_frames emits the real thumbnail at frame 0."""
+    art = np.zeros((6, 8, 3), dtype=np.uint8)
+    art[:, :, 1] = 200
+    png = encode_png(art)
+    df = spark.createDataFrame(
+        [Row(media_ref="v.mp4", ctype="video/mp4",
+             payload=_mp4_with_covr(png)),
+         Row(media_ref="a.mp3", ctype="audio/mpeg",
+             payload=_mp3_with_apic(png)),
+         Row(media_ref="bare.mp4", ctype="video/mp4",
+             payload=_mp4_with_covr(b"")[:64])])
+
+    dec = {r["media_ref"]: r for r in decode_media(df).collect()}
+    assert dec["v.mp4"]["ok"] == "ok"
+    assert dec["v.mp4"]["container"] == "mp4"
+    assert dec["a.mp3"]["ok"] == "ok"
+    assert (dec["a.mp3"]["width"], dec["a.mp3"]["height"]) == (8, 6)
+    assert dec["bare.mp4"]["ok"] == "codec:unavailable"
+
+    frames = [r for r in sample_frames(df, n_frames=3).collect()
+              if r["media_ref"] == "v.mp4"]
+    assert len(frames) == 3
+    f0 = next(r for r in frames if r["frame_index"] == 0)
+    assert f0["ok"] == "ok"
+    got = np.frombuffer(f0["payload"], np.uint8).reshape(6, 8, 3)
+    assert np.array_equal(got, art)
+    f1 = next(r for r in frames if r["frame_index"] == 1)
+    assert f1["ok"] == "codec:unavailable"
+
+    from unfurl_spark.functions.media import embedded_cover
+    assert embedded_cover(_mp4_with_covr(png)) == (png, "mp4:covr")
+    assert embedded_cover(_mp3_with_apic(png)) == (png, "id3:apic")
+    assert embedded_cover(b"\x00" * 32) is None

@@ -995,6 +995,96 @@ _ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000,
 _AAC_PROFILES = ("AAC Main", "AAC LC", "AAC SSR", "AAC LTP")
 
 
+def _id3_apic(data: bytes) -> bytes | None:
+    """Attached-picture payload from an ID3v2 tag: APIC (v2.3/2.4) or
+    PIC (v2.2).  Body layout: encoding byte, MIME (nul-terminated; v2.2
+    uses a fixed 3-byte format id instead), picture-type byte,
+    description (terminator width follows the encoding), image bytes."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return None
+    major = data[3]
+    size = min(_syncsafe(data[6:10]) + 10, len(data))
+    if data[5] & 0x80:
+        body = data[10:size].replace(b"\xff\x00", b"\xff")
+        data = data[:10] + body
+        size = 10 + len(body)
+    pos = 10
+    idw, szw = (3, 3) if major == 2 else (4, 4)
+    want = b"PIC" if major == 2 else b"APIC"
+    while pos + idw + szw <= size:
+        fid = data[pos:pos + idw]
+        if fid.strip(b"\x00") == b"":
+            return None  # padding
+        raw_sz = data[pos + idw:pos + idw + szw]
+        fsz = _syncsafe(raw_sz) if major == 4 \
+            else int.from_bytes(raw_sz, "big")
+        pos += idw + szw + (0 if major == 2 else 2)
+        if fsz <= 0 or pos + fsz > size:
+            return None
+        if fid == want:
+            body, p = data[pos:pos + fsz], 0
+            if not body:
+                return None
+            enc = body[0]
+            p = 1
+            if major == 2:
+                p += 3                      # 3-byte image format id
+            else:
+                mend = body.find(b"\x00", p)
+                if mend < 0:
+                    return None
+                p = mend + 1                # MIME
+            p += 1                          # picture type
+            if enc in (1, 2):               # UTF-16: 2-byte terminator
+                dend = body.find(b"\x00\x00", p)
+                if dend < 0:
+                    return None
+                p = dend + 2 + (dend - p) % 2
+            else:
+                dend = body.find(b"\x00", p)
+                if dend < 0:
+                    return None
+                p = dend + 1
+            return bytes(body[p:]) or None
+        pos += fsz
+    return None
+
+
+def embedded_cover(data: bytes) -> tuple[bytes, str] | None:
+    """Embedded cover-art image bytes from an A/V container, with its
+    source tag: MP4/M4A ``moov/udta/meta/ilst/covr`` (iTunes metadata,
+    public ISO-BMFF + iTunes atom layout) or an MP3 ID3v2 APIC/PIC
+    frame.  This is the same attached picture ffmpeg exposes as an
+    ``attached_pic`` stream — the thumbnail a training pipeline wants
+    when the video essence itself needs an external codec."""
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        for b1, s1, e1 in _walk_mp4_boxes(data, 0, len(data)):
+            if b1 != b"moov":
+                continue
+            for b2, s2, e2 in _walk_mp4_boxes(data, s1, e1):
+                if b2 != b"udta":
+                    continue
+                for b3, s3, e3 in _walk_mp4_boxes(data, s2, e2):
+                    if b3 != b"meta" or e3 - s3 < 4:
+                        continue
+                    for b4, s4, e4 in _walk_mp4_boxes(data, s3 + 4, e3):
+                        if b4 != b"ilst":
+                            continue
+                        for b5, s5, e5 in _walk_mp4_boxes(data, s4, e4):
+                            if b5 != b"covr":
+                                continue
+                            for b6, s6, e6 in _walk_mp4_boxes(
+                                    data, s5, e5):
+                                # data atom: 4B type + 4B locale prefix
+                                if b6 == b"data" and e6 - s6 > 8:
+                                    return data[s6 + 8:e6], "mp4:covr"
+    if data[:3] == b"ID3":
+        pic = _id3_apic(data)
+        if pic:
+            return pic, "id3:apic"
+    return None
+
+
 def aac_metadata(data: bytes, total_bytes: int | None = None) -> dict:
     """ADTS AAC metadata: profile/rate/channels from the first header,
     duration by walking frame_length fields across the available bytes

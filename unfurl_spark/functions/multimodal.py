@@ -55,7 +55,14 @@ from .codecs_ext import (
     decode_tiff,
 )
 from .jpegc import decode_jpeg
-from .media import _png_info, _sniff, _webp_info, mkv_metadata, mp4_metadata
+from .media import (
+    _png_info,
+    _sniff,
+    _webp_info,
+    embedded_cover,
+    mkv_metadata,
+    mp4_metadata,
+)
 from .vp8l import decode_webp
 
 # cap payload bytes entering Python — headers live in the prefix (the
@@ -91,11 +98,14 @@ def decode_pixels(payload: bytes, container: str):
     """Decode a payload to pixels (images → HxWxC uint8 ndarray) or
     samples (wav → (rate, int16[n, ch])).  Pure stdlib+numpy codecs,
     including BOTH WebP flavors (VP8L lossless and the RFC 6386 VP8
-    intra decoder for lossy); containers needing an external essence
-    codec (MP4/H.264, WebM/VP9, MP3/AAC, HEIC/AVIF) raise
-    ``CodecUnavailable`` — the explicit boundary a real deployment
-    closes by plugging ffmpeg into ``_DECODERS`` (or
-    ``vp8sys.enable_native_webp()`` for a faster WebP path)."""
+    intra decoder for lossy); MP4/MP3 containers carrying embedded
+    cover art (iTunes ``covr`` atom / ID3 APIC — ffmpeg's attached_pic)
+    decode that picture to real pixels.  Containers needing an external
+    MOTION/AUDIO essence codec with no attached picture (MP4/H.264,
+    WebM/VP9, MP3/AAC streams, HEIC/AVIF) raise ``CodecUnavailable`` —
+    the explicit boundary a real deployment closes by plugging ffmpeg
+    into ``_DECODERS`` (or ``vp8sys.enable_native_webp()`` for a faster
+    WebP path)."""
     dec = _DECODERS.get(container)
     if dec is not None:
         return dec(payload)
@@ -109,6 +119,16 @@ def decode_pixels(payload: bytes, container: str):
     if container == "svg":
         raise CodecUnavailable(
             "svg: vector rasterization out of scope (dims are real)")
+    if container in ("mp4", "mp3", "m4a", "mov"):
+        # the ffmpeg attached_pic path: MP4 covr / ID3 APIC cover art is
+        # a plain JPEG/PNG we CAN decode — real pixels even though the
+        # motion essence needs an external codec
+        cover = embedded_cover(payload)
+        if cover is not None:
+            img, _src = cover
+            cdec = _DECODERS.get(_sniff(img) or "")
+            if cdec is not None:
+                return cdec(img)
     raise CodecUnavailable(
         f"container {container!r} needs an external codec "
         "(not installed in this environment)")
@@ -480,7 +500,10 @@ def sample_frames(df: DataFrame, n_frames: int = 4,
     frame sequence per the disposal model, n_frames are picked evenly
     across it, timestamps come from the per-frame delays — a true
     `ffmpeg -vf fps=` sampler.  MP4/WebM get real timestamps (moov/mvhd
-    duration spread) but stub pixels (H.264/VP9 essence is the codec
+    duration spread); when the container carries embedded cover art
+    (MP4 ``covr`` / ID3 APIC — ffmpeg's attached_pic stream), frame 0
+    is that REAL decoded thumbnail with ``ok='ok'``.  Motion frames
+    beyond it stay stub pixels (H.264/VP9 essence is the codec
     boundary, flagged in ``ok``); unparseable payloads fall back to the
     fixed interval.
     """
@@ -551,13 +574,30 @@ def sample_frames(df: DataFrame, n_frames: int = 4,
                 else:
                     step_ms = frame_interval_ms
                     ok = "codec:unavailable"
+                # ffmpeg exposes MP4 covr / ID3 APIC cover art as an
+                # attached_pic stream — when it decodes, frame 0 is that
+                # REAL thumbnail; motion frames keep the flagged stub
+                cover_px = None
+                if kind in ("mp4", "mp3"):
+                    try:
+                        cover = embedded_cover(data)
+                        if cover is not None:
+                            cdec = _DECODERS.get(_sniff(cover[0]) or "")
+                            if cdec is not None:
+                                cover_px = cdec(cover[0]).tobytes()
+                    except Exception:   # malformed cover → stub frame 0
+                        cover_px = None
                 for i in range(n_frames):
                     o_refs.append(ref)
                     o_idx.append(i)
                     o_ts.append(i * step_ms)
-                    o_payload.append(
-                        _fake_pixels(f"{ref}#{i}", data, 256))
-                    o_ok.append(ok)
+                    if i == 0 and cover_px is not None:
+                        o_payload.append(cover_px)
+                        o_ok.append("ok")
+                    else:
+                        o_payload.append(
+                            _fake_pixels(f"{ref}#{i}", data, 256))
+                        o_ok.append(ok)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(o_refs, pa.string()),
                  pa.array(o_idx, pa.int32()),
