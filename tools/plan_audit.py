@@ -193,18 +193,32 @@ def universal_checks(name: str):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else SF_DIR
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    profile = "cluster" if "--profile=cluster" in sys.argv[1:] \
+        or "--cluster" in sys.argv[1:] else None
+    sf_dir = args[0] if args else SF_DIR
 
     from unfurl_spark.operators.pipeline import extract_spans, session
     from unfurl_spark.operators.queries import QUERIES
 
-    spark = session(app="plan_audit", master="local[8]")
+    # --cluster: audit under the deployment config profile (256 MB
+    # splits, compressed shuffle, skew-join on) — plan SHAPES must match
+    # the sandbox profile; only scan split sizing may differ
+    spark = session(app="plan_audit", master="local[8]", profile=profile)
     spark.sparkContext.setLogLevel("ERROR")
+    if profile == "cluster":
+        print("auditing under profile=cluster "
+              f"(maxPartitionBytes={spark.conf.get('spark.sql.files.maxPartitionBytes')})")
 
     sections: list[str] = [
         "# PLANS — physical-plan audit (`tools/plan_audit.py`)\n",
         "Asserted properties per query; full `explain(formatted)` output "
-        "below each.\nRegenerate with `python3 tools/plan_audit.py`.\n",
+        "below each.\nRegenerate with `python3 tools/plan_audit.py` "
+        "(add `--cluster` for the deployment config profile).\n",
+        f"\nAudited under `session(profile="
+        f"{'cluster' if profile == 'cluster' else 'local'}\")` — r5 "
+        "verified the shapes are identical across both profiles at "
+        "sf0.01 (only scan split sizing differs).\n",
     ]
     failures: list[str] = []
 
