@@ -84,3 +84,38 @@ def test_mkv_truncated_and_garbage_total():
     assert mkv_metadata(b"") == {}
     assert mkv_metadata(b"\x1aE\xdf\xa3" + b"\x00" * 32) == {}
     assert mkv_metadata(b"not ebml at all") == {}
+
+
+def test_mkv_attached_cover_art():
+    """Matroska Attachments carrying an image (the cover.jpg convention)
+    feed embedded_cover → decode_pixels real pixels for webm."""
+    import numpy as np
+
+    from unfurl_spark.functions.codecs import encode_png
+    from unfurl_spark.functions.media import embedded_cover
+    from unfurl_spark.functions.multimodal import decode_pixels
+
+    art = np.zeros((4, 5, 3), dtype=np.uint8)
+    art[:, :, 0] = 90
+    png = encode_png(art)
+    attached = _el(0x61A7,
+                   _el(0x466E, "cover.png".encode())
+                   + _el(0x4660, b"image/png")
+                   + _el(0x465C, png))
+    base = _mkv(tracks=((1, 64, 48),))
+    # splice Attachments into the Segment: rebuild with extra payload
+    header = _el(0x1A45DFA3, _el(0x4282, b"webm"))
+    seg_payload = (_el(0x1549A966, b"")
+                   + _el(0x1941A469, attached))
+    data = header + _el(0x18538067, seg_payload)
+    got = embedded_cover(data)
+    assert got is not None and got[1] == "mkv:attachment"
+    assert got[0] == png
+    px = decode_pixels(data, "webm")
+    assert np.array_equal(px, art)
+    # audio-only attachment (non-image, no cover name) stays a boundary
+    att2 = _el(0x61A7, _el(0x466E, b"sub.srt")
+               + _el(0x4660, b"text/plain") + _el(0x465C, b"1\n"))
+    data2 = header + _el(0x18538067, _el(0x1941A469, att2))
+    assert embedded_cover(data2) is None
+    assert mkv_metadata(base).get("width") == 64

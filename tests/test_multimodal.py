@@ -398,3 +398,92 @@ def test_cover_art_thumbnails_mp4_covr_and_id3_apic(spark):
     assert embedded_cover(_mp4_with_covr(png)) == (png, "mp4:covr")
     assert embedded_cover(_mp3_with_apic(png)) == (png, "id3:apic")
     assert embedded_cover(b"\x00" * 32) is None
+
+
+def _mjpeg_mp4(jpegs: list, fps: int = 2) -> bytes:
+    """Minimal MJPEG-in-MP4: one video trak with a 'jpeg' sample entry,
+    stts/stsz/stsc/stco sample tables, samples in one mdat."""
+    import struct as _s
+
+    def box(tag, body):
+        return _s.pack(">I", 8 + len(body)) + tag + body
+
+    timescale = fps
+    stsd = box(b"stsd", b"\x00\x00\x00\x00" + _s.pack(">I", 1)
+               + box(b"jpeg", b"\x00" * 78))
+    stts = box(b"stts", b"\x00\x00\x00\x00" + _s.pack(">I", 1)
+               + _s.pack(">II", len(jpegs), 1))
+    stsz = box(b"stsz", b"\x00\x00\x00\x00" + _s.pack(">II", 0, len(jpegs))
+               + b"".join(_s.pack(">I", len(j)) for j in jpegs))
+    stsc = box(b"stsc", b"\x00\x00\x00\x00" + _s.pack(">I", 1)
+               + _s.pack(">III", 1, len(jpegs), 1))
+
+    def build(data_off):
+        stco = box(b"stco", b"\x00\x00\x00\x00" + _s.pack(">I", 1)
+                   + _s.pack(">I", data_off))
+        stbl = box(b"stbl", stsd + stts + stsz + stsc + stco)
+        minf = box(b"minf", stbl)
+        mdhd = box(b"mdhd", b"\x00" + b"\x00" * 3
+                   + _s.pack(">IIII", 0, 0, timescale, len(jpegs)))
+        mdia = box(b"mdia", mdhd + minf)
+        trak = box(b"trak", mdia)
+        mvhd = box(b"mvhd", b"\x00" + b"\x00" * 3
+                   + _s.pack(">IIII", 0, 0, timescale, len(jpegs)))
+        moov = box(b"moov", mvhd + trak)
+        ftyp = box(b"ftyp", b"isom" + _s.pack(">I", 0) + b"isom")
+        return ftyp + moov
+    head = build(0)
+    mdat_payload = b"".join(jpegs)
+    data_off = len(head) + 8   # first sample sits after the mdat header
+    return build(data_off) + box(b"mdat", mdat_payload)
+
+
+def test_mjpeg_mp4_real_frames(spark):
+    """Motion-JPEG MP4: sample_frames decodes REAL frames at REAL
+    timestamps (each sample is a whole baseline JPEG); decode_pixels
+    returns the first frame; decode_media reports ok."""
+    import subprocess
+    import shutil
+    if shutil.which("gcc") is None:
+        import pytest as _pytest
+        _pytest.skip("gcc/libjpeg helper unavailable for JPEG encoding")
+    helper = "/tmp/unfurl_jpeghelper"
+    r = subprocess.run(
+        ["gcc", "-O2", "-o", helper, "tools/jpeghelper.c", "-ljpeg"],
+        capture_output=True)
+    if r.returncode != 0:
+        import pytest as _pytest
+        _pytest.skip("libjpeg dev headers not available")
+
+    from unfurl_spark.functions.jpegc import decode_jpeg
+    from unfurl_spark.functions.media import mjpeg_samples
+
+    frames_px = []
+    jpegs = []
+    for shade in (0, 120, 250):
+        img = np.full((16, 16, 3), shade, np.uint8)
+        enc = subprocess.run(
+            [helper, "encode", "16", "16", "95", "0", "0"],
+            input=img.tobytes(), capture_output=True).stdout
+        jpegs.append(enc)
+        frames_px.append(decode_jpeg(enc))
+    data = _mjpeg_mp4(jpegs, fps=2)
+
+    table = mjpeg_samples(data)
+    assert table is not None and len(table) == 3
+    assert [t for t, _, _ in table] == [0, 500, 1000]  # fps=2 → 500 ms
+
+    px = decode_pixels(data, "mp4")
+    assert np.array_equal(px, frames_px[0])
+
+    df = spark.createDataFrame(
+        [Row(media_ref="m.mp4", ctype="video/mp4", payload=data)])
+    rows = sorted(sample_frames(df, n_frames=3).collect(),
+                  key=lambda r: r["frame_index"])
+    assert [r["ok"] for r in rows] == ["ok", "ok", "ok"]
+    assert [r["frame_ts_ms"] for r in rows] == [0, 500, 1000]
+    for r, expect in zip(rows, frames_px):
+        got = np.frombuffer(r["payload"], np.uint8).reshape(16, 16, 3)
+        assert np.array_equal(got, expect)
+    dec = decode_media(df).collect()[0]
+    assert dec["ok"] == "ok"

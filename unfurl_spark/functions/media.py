@@ -1050,6 +1050,128 @@ def _id3_apic(data: bytes) -> bytes | None:
     return None
 
 
+def mjpeg_samples(data: bytes, max_samples: int = 4096
+                  ) -> list[tuple[int, int, int]] | None:
+    """Sample table of the first MJPEG video track in an ISO-BMFF file:
+    [(ts_ms, file_offset, size)] for up to ``max_samples`` samples, or
+    None when no track uses a Motion-JPEG sample entry (``jpeg``/
+    ``mjpa``/``mjpb``).  Each sample of such a track is a complete
+    baseline JPEG image, so frame extraction needs no inter-frame codec
+    — the one video family where a real `ffmpeg -vf fps=` sampler works
+    from the container alone.  Pure stdlib stbl walk: stsd (codec),
+    stts (timestamps), stsz (sizes), stsc+stco/co64 (offsets)."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return None
+    for b1, s1, e1 in _walk_mp4_boxes(data, 0, len(data)):
+        if b1 != b"moov":
+            continue
+        for b2, s2, e2 in _walk_mp4_boxes(data, s1, e1):
+            if b2 != b"trak":
+                continue
+            timescale = None
+            stbl = None
+            for b3, s3, e3 in _walk_mp4_boxes(data, s2, e2):
+                if b3 != b"mdia":
+                    continue
+                for b4, s4, e4 in _walk_mp4_boxes(data, s3, e3):
+                    if b4 == b"mdhd" and e4 - s4 >= 20:
+                        v = data[s4]
+                        off = s4 + (20 if v == 1 else 12)
+                        timescale = int.from_bytes(
+                            data[off:off + 4], "big") or None
+                    elif b4 == b"minf":
+                        for b5, s5, e5 in _walk_mp4_boxes(data, s4, e4):
+                            if b5 == b"stbl":
+                                stbl = (s5, e5)
+            if stbl is None:
+                continue
+            fmt = None
+            stts: list[tuple[int, int]] = []
+            sizes: list[int] = []
+            uniform = 0
+            stsc: list[tuple[int, int]] = []
+            chunk_offs: list[int] = []
+            for b6, s6, e6 in _walk_mp4_boxes(data, stbl[0], stbl[1]):
+                body = data[s6:e6]
+                if b6 == b"stsd" and len(body) >= 16:
+                    fmt = body[12:16]
+                elif b6 == b"stts" and len(body) >= 8:
+                    n = int.from_bytes(body[4:8], "big")
+                    for i in range(min(n, max_samples)):
+                        p = 8 + 8 * i
+                        if p + 8 > len(body):
+                            break
+                        stts.append((int.from_bytes(body[p:p + 4], "big"),
+                                     int.from_bytes(body[p + 4:p + 8],
+                                                    "big")))
+                elif b6 == b"stsz" and len(body) >= 12:
+                    uniform = int.from_bytes(body[4:8], "big")
+                    n = int.from_bytes(body[8:12], "big")
+                    if uniform == 0:
+                        for i in range(min(n, max_samples)):
+                            p = 12 + 4 * i
+                            if p + 4 > len(body):
+                                break
+                            sizes.append(int.from_bytes(body[p:p + 4],
+                                                        "big"))
+                    else:
+                        sizes = [uniform] * min(n, max_samples)
+                elif b6 == b"stsc" and len(body) >= 8:
+                    n = int.from_bytes(body[4:8], "big")
+                    for i in range(min(n, max_samples)):
+                        p = 8 + 12 * i
+                        if p + 12 > len(body):
+                            break
+                        stsc.append((int.from_bytes(body[p:p + 4], "big"),
+                                     int.from_bytes(body[p + 4:p + 8],
+                                                    "big")))
+                elif b6 in (b"stco", b"co64") and len(body) >= 8:
+                    n = int.from_bytes(body[4:8], "big")
+                    w = 4 if b6 == b"stco" else 8
+                    for i in range(min(n, max_samples)):
+                        p = 8 + w * i
+                        if p + w > len(body):
+                            break
+                        chunk_offs.append(
+                            int.from_bytes(body[p:p + w], "big"))
+            if fmt not in (b"jpeg", b"mjpa", b"mjpb") or not sizes \
+                    or not chunk_offs:
+                continue
+            if not stsc:
+                stsc = [(1, 1)]
+            # expand sample → (chunk, index-within-chunk) from the
+            # stsc run-length table, then offset = chunk_off + prior
+            # sample sizes within the chunk
+            out: list[tuple[int, int, int]] = []
+            ts_units, ts_list = 0, []
+            for cnt, delta in stts:
+                for _ in range(min(cnt, max_samples - len(ts_list))):
+                    ts_list.append(ts_units)
+                    ts_units += delta
+            sample = 0
+            for run_i, (first_chunk, per_chunk) in enumerate(stsc):
+                last_chunk = (stsc[run_i + 1][0] - 1
+                              if run_i + 1 < len(stsc)
+                              else len(chunk_offs))
+                for chunk in range(first_chunk, last_chunk + 1):
+                    if chunk - 1 >= len(chunk_offs) \
+                            or sample >= len(sizes):
+                        break
+                    off = chunk_offs[chunk - 1]
+                    for _ in range(per_chunk):
+                        if sample >= len(sizes):
+                            break
+                        ts_u = ts_list[sample] if sample < len(ts_list) \
+                            else 0
+                        ts_ms = (ts_u * 1000 // timescale
+                                 if timescale else sample * 1000)
+                        out.append((ts_ms, off, sizes[sample]))
+                        off += sizes[sample]
+                        sample += 1
+            return out or None
+    return None
+
+
 def embedded_cover(data: bytes) -> tuple[bytes, str] | None:
     """Embedded cover-art image bytes from an A/V container, with its
     source tag: MP4/M4A ``moov/udta/meta/ilst/covr`` (iTunes metadata,
@@ -1082,6 +1204,30 @@ def embedded_cover(data: bytes) -> tuple[bytes, str] | None:
         pic = _id3_apic(data)
         if pic:
             return pic, "id3:apic"
+    if data[:4] == b"\x1aE\xdf\xa3":
+        # Matroska/WebM Attachments → AttachedFile: cover art ships as a
+        # FileData blob whose FileMimeType is an image type (the
+        # convention is a file literally named cover.jpg/cover.png)
+        for eid, ps, pe in _walk_ebml(data, 0, len(data)):
+            if eid != 0x18538067:       # Segment
+                continue
+            for cid, cs, ce in _walk_ebml(data, ps, pe):
+                if cid != 0x1941A469:   # Attachments
+                    continue
+                for aid, a0, a1 in _walk_ebml(data, cs, ce):
+                    if aid != 0x61A7:   # AttachedFile
+                        continue
+                    mime, name, blob = None, "", None
+                    for fid, fs, fe in _walk_ebml(data, a0, a1):
+                        if fid == 0x4660:       # FileMimeType
+                            mime = data[fs:fe].decode("latin-1", "replace")
+                        elif fid == 0x466E:     # FileName
+                            name = data[fs:fe].decode("utf-8", "replace")
+                        elif fid == 0x465C:     # FileData
+                            blob = bytes(data[fs:fe])
+                    if blob and ((mime or "").startswith("image/")
+                                 or name.lower().startswith("cover.")):
+                        return blob, "mkv:attachment"
     return None
 
 

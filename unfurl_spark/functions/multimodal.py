@@ -17,12 +17,15 @@ from scratch, bit-exact vs libwebp) with ALPH alpha and ANMF animation
 frames — ICO favicons, baseline TIFF images, and PCM WAV + FLAC + AIFF
 audio decode to real pixels/samples, feed a real box-filter resize and
 real feature statistics; SVG yields real intrinsic dimensions
-(rasterization out of scope).  Formats whose essence needs an
+(rasterization out of scope).  Motion-JPEG MP4 tracks decode REAL
+frames at REAL timestamps (every sample is a baseline JPEG), and
+MP4/MP3/WebM embedded cover art (covr / APIC / Matroska attachment)
+decodes to real thumbnail pixels.  Formats whose essence needs an
 out-of-container codec (MP4/H.264, WebM/VP9 video essence, MP3/AAC
 audio essence — container metadata for all of these IS parsed, see
-``media.py``) raise ``CodecUnavailable`` and
-fall back to a deterministic payload-hash fake — the honest boundary
-in this environment, visible per-row in the ``ok`` lineage column.
+``media.py``) raise ``CodecUnavailable`` and fall back to a
+deterministic payload-hash fake — the honest boundary in this
+environment, visible per-row in the ``ok`` lineage column.
 
 All operators are Arrow-batched via ``mapInArrow`` — no per-row Python
 UDFs, payloads cross as Arrow binary buffers (zero-copy from the JVM).
@@ -60,6 +63,7 @@ from .media import (
     _sniff,
     _webp_info,
     embedded_cover,
+    mjpeg_samples,
     mkv_metadata,
     mp4_metadata,
 )
@@ -98,10 +102,12 @@ def decode_pixels(payload: bytes, container: str):
     """Decode a payload to pixels (images → HxWxC uint8 ndarray) or
     samples (wav → (rate, int16[n, ch])).  Pure stdlib+numpy codecs,
     including BOTH WebP flavors (VP8L lossless and the RFC 6386 VP8
-    intra decoder for lossy); MP4/MP3 containers carrying embedded
-    cover art (iTunes ``covr`` atom / ID3 APIC — ffmpeg's attached_pic)
-    decode that picture to real pixels.  Containers needing an external
-    MOTION/AUDIO essence codec with no attached picture (MP4/H.264,
+    intra decoder for lossy); MP4/MP3/WebM containers carrying embedded
+    cover art (iTunes ``covr`` atom / ID3 APIC / Matroska attachment —
+    ffmpeg's attached_pic) decode that picture to real pixels, and a
+    Motion-JPEG MP4 track decodes its first sample as a real frame.
+    Containers needing an external MOTION/AUDIO essence codec with no
+    attached picture and no MJPEG track (MP4/H.264,
     WebM/VP9, MP3/AAC streams, HEIC/AVIF) raise ``CodecUnavailable`` —
     the explicit boundary a real deployment closes by plugging ffmpeg
     into ``_DECODERS`` (or ``vp8sys.enable_native_webp()`` for a faster
@@ -119,10 +125,17 @@ def decode_pixels(payload: bytes, container: str):
     if container == "svg":
         raise CodecUnavailable(
             "svg: vector rasterization out of scope (dims are real)")
-    if container in ("mp4", "mp3", "m4a", "mov"):
-        # the ffmpeg attached_pic path: MP4 covr / ID3 APIC cover art is
-        # a plain JPEG/PNG we CAN decode — real pixels even though the
-        # motion essence needs an external codec
+    if container in ("mp4", "mp3", "m4a", "mov", "webm"):
+        if container == "mp4":
+            # Motion-JPEG track: first sample is a whole baseline JPEG
+            table = mjpeg_samples(payload)
+            if table:
+                ts, off, sz = table[0]
+                if off + sz <= len(payload):
+                    return decode_jpeg(payload[off:off + sz])
+        # the ffmpeg attached_pic path: MP4 covr / ID3 APIC / Matroska
+        # attachment cover art is a plain JPEG/PNG we CAN decode — real
+        # pixels even though the motion essence needs an external codec
         cover = embedded_cover(payload)
         if cover is not None:
             img, _src = cover
@@ -563,6 +576,40 @@ def sample_frames(df: DataFrame, n_frames: int = 4,
                         o_payload.append(px)
                         o_ok.append("ok")
                     continue
+                if kind == "mp4":
+                    # Motion-JPEG track: every sample is a whole baseline
+                    # JPEG — real frames at real timestamps, no external
+                    # codec (the true `ffmpeg -vf fps=` path for this
+                    # family)
+                    try:
+                        table = mjpeg_samples(data)
+                    except Exception:
+                        table = None
+                    if table:
+                        usable = [(ts, off, sz) for ts, off, sz in table
+                                  if off + sz <= len(data)]
+                        if usable:
+                            picks = [min(len(usable) - 1,
+                                         i * len(usable) // n_frames)
+                                     for i in range(n_frames)]
+                            decoded_ok = True
+                            frames = []
+                            for j in picks:
+                                ts, off, sz = usable[j]
+                                try:
+                                    px = decode_jpeg(data[off:off + sz])
+                                    frames.append((ts, px.tobytes()))
+                                except Exception:
+                                    decoded_ok = False
+                                    break
+                            if decoded_ok:
+                                for i, (ts, px) in enumerate(frames):
+                                    o_refs.append(ref)
+                                    o_idx.append(i)
+                                    o_ts.append(ts)
+                                    o_payload.append(px)
+                                    o_ok.append("ok")
+                                continue
                 try:
                     duration_s = (mp4_metadata(data).get("duration_s")
                                   or mkv_metadata(data).get("duration_s"))
@@ -578,7 +625,7 @@ def sample_frames(df: DataFrame, n_frames: int = 4,
                 # attached_pic stream — when it decodes, frame 0 is that
                 # REAL thumbnail; motion frames keep the flagged stub
                 cover_px = None
-                if kind in ("mp4", "mp3"):
+                if kind in ("mp4", "mp3", "webm"):
                     try:
                         cover = embedded_cover(data)
                         if cover is not None:
