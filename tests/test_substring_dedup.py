@@ -84,3 +84,18 @@ def test_identical_docs_fully_flagged(spark, tmp_path):
         assert win[d]["n_windows"] == 15        # 30-16+1
         assert win[d]["n_dup_windows"] == 15
         assert win[d]["dup_frac"] == 1.0
+
+
+@pytest.mark.usefixtures("spark")
+def test_hashed_variant_bit_identical(spark, tmp_path):
+    """The xxhash64-gated scale variant returns the identical relation:
+    a hash collision can gate a candidate IN but the string verify step
+    keeps the output exact."""
+    sf = _mkdocs(tmp_path)
+    a = sorted(map(tuple,
+                   QUERIES["dedup_substring_windows"][0](spark, sf)
+                   .collect()))
+    b = sorted(map(tuple,
+                   QUERIES["dedup_substring_windows_hashed"][0](spark, sf)
+                   .collect()))
+    assert a == b

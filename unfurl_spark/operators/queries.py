@@ -1636,6 +1636,47 @@ win AS (
   FROM ix)
 """ + _WIN_BODY)
 
+# The 100 TB shape of the same operator: an xxhash64 pre-pass gates the
+# heavy string shuffle.  Windows first group by their 8-byte hash (the
+# only full-corpus shuffle moves (bigint, doc_id) rows); only windows
+# whose HASH is shared by >1 doc — <<1% of a web corpus — re-shuffle as
+# strings for exact verification, so a hash collision can gate a
+# candidate in but can never mark a non-duplicate (output bit-identical
+# to dedup_substring_windows, which doubles as its DuckDB oracle; the
+# identity is also asserted directly in tests/test_substring_dedup.py).
+def _substring_windows_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql("""
+WITH wd AS (SELECT doc_id, split(text, ' ') AS w FROM documents
+            WHERE size(split(text, ' ')) >= 16),
+win AS (
+  SELECT doc_id,
+         explode(transform(sequence(1, size(w) - 15),
+                 i -> array_join(slice(w, i, 16), ' '))) AS win
+  FROM wd),
+dwin AS (SELECT DISTINCT doc_id, win FROM win),
+hwin AS (SELECT doc_id, win, xxhash64(win) AS h FROM dwin),
+hcand AS (
+  SELECT h FROM hwin GROUP BY h HAVING count(DISTINCT doc_id) > 1
+),
+dup AS (
+  SELECT w.win FROM hwin w JOIN hcand c ON w.h = c.h
+  GROUP BY w.win HAVING count(*) > 1
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(count(p.win) AS BIGINT) AS n_dup_windows,
+       round(CAST(count(p.win) AS DOUBLE) / count(*), 4) AS dup_frac
+FROM dwin d LEFT JOIN dup p ON d.win = p.win
+GROUP BY d.doc_id
+""")
+
+
+QUERIES["dedup_substring_windows_hashed"] = (
+    _substring_windows_hashed,
+    # same relation as the string-keyed form — reuse its DuckDB oracle
+    QUERIES["dedup_substring_windows"][1])
+
 # Unigram Shannon entropy per document — a standard quality-filter feature
 # (low-entropy docs are boilerplate/spam).  Two partial-agg shuffles on
 # (doc_id, word) then doc_id; map-side combine keeps both narrow.
