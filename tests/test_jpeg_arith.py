@@ -169,25 +169,48 @@ def test_arith_restart_intervals(helper):
                                       decode_jpeg(huff)), (gray, prog, dri)
 
 
-def test_non_interleaved_sequential_is_explicit_boundary():
-    """A valid sequential file whose SOS covers only some frame
-    components must raise CodecUnavailable (for both Huffman SOF0 and
-    arithmetic SOF9), not KeyError/garbage — regression for the
-    one-interleaved-scan assumption in both sequential decoders."""
-    import struct
+def test_non_interleaved_sequential_multiscan(helper):
+    """Multi-SOS sequential files (one full-spectral scan per component,
+    T.81 non-interleaved mode) decode for BOTH entropy coders:
+    byte-identical pixels to the interleaved encode of the same image
+    (same coefficients, different scan organization) AND to libjpeg's
+    own decode of the multi-scan file."""
+    rng = np.random.default_rng(77)
 
-    from unfurl_spark.functions.codecs import CodecUnavailable
+    def enc(img, arith, ms, gray, dri=0):
+        r = subprocess.run(
+            [helper, "encode", str(img.shape[1]), str(img.shape[0]),
+             "80", str(arith), str(gray), "0", str(dri), str(ms)],
+            input=img.tobytes(), capture_output=True)
+        assert r.returncode == 0, r.stderr
+        return r.stdout
 
-    def seg(marker, body):
-        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
-
-    for sof in (0xC0, 0xC9):  # SOF0 Huffman, SOF9 arithmetic
-        sof_body = (bytes([8]) + struct.pack(">HH", 8, 8) + bytes([3])
-                    + bytes([1, 0x22, 0]) + bytes([2, 0x11, 0])
-                    + bytes([3, 0x11, 0]))
-        dqt = seg(0xDB, bytes([0]) + bytes(range(1, 65)))
-        sos_body = bytes([1, 1, 0x00, 0, 63, 0])  # ns=1: only comp 1
-        data = (b"\xff\xd8" + dqt + seg(sof, sof_body)
-                + seg(0xDA, sos_body) + b"\x00" * 16 + b"\xff\xd9")
-        with pytest.raises(CodecUnavailable):
-            decode_jpeg(data)
+    cases = [
+        (rng.integers(0, 256, (40, 56, 3), dtype=np.uint8), 0),
+        (rng.integers(0, 256, (33, 41, 3), dtype=np.uint8), 4),
+        (rng.integers(0, 256, (24, 24), dtype=np.uint8), 0),     # gray
+    ]
+    for img, dri in cases:
+        gray = int(img.ndim == 2)
+        for arith in (0, 1):
+            single = enc(img, arith, 0, gray, dri)
+            multi = enc(img, arith, 1, gray, dri)
+            assert multi.count(b"\xff\xda") == (1 if gray else 3)
+            p_single = decode_jpeg(single)
+            p_multi = decode_jpeg(multi)
+            assert np.array_equal(p_single, p_multi), (arith, dri, gray)
+            golden_m = _golden(helper, multi)
+            golden_s = _golden(helper, single)
+            if gray:
+                golden_m = golden_m[:, :, 0][:, :, None]
+                golden_s = golden_s[:, :, 0][:, :, None]
+            # libjpeg decodes BOTH files identically (scan organization
+            # does not change coefficients)...
+            assert np.array_equal(golden_m, golden_s), (arith, dri, gray)
+            # ...and this pipeline must sit at the SAME family distance
+            # (integer-vs-float IDCT) from libjpeg for both files
+            drift_m = float(np.abs(p_multi.astype(int)
+                                   - golden_m.astype(int)).mean())
+            drift_s = float(np.abs(p_single.astype(int)
+                                   - golden_s.astype(int)).mean())
+            assert abs(drift_m - drift_s) < 1e-9, (arith, dri, gray)

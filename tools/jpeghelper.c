@@ -3,7 +3,10 @@
  * Compiled on demand by tests/test_jpeg_arith.py (skipped when gcc or
  * libjpeg headers are absent); never part of the runtime engine.
  *
- *   jpeghelper encode <w> <h> <quality> <arith 0|1> <gray 0|1> [prog 0|1] [dri N]
+ *   jpeghelper encode <w> <h> <quality> <arith 0|1> <gray 0|1> [prog 0|1] [dri N] [ms 0|1]
+ *       ms=1: non-interleaved multi-scan SEQUENTIAL script (one
+ *       full-spectral scan per component) — exercises multi-SOS
+ *       baseline/SOF9 decoding
  *       raw RGB (or gray) on stdin -> JPEG on stdout
  *   jpeghelper decode
  *       JPEG on stdin -> "w h ncomp\n" + raw bytes on stdout
@@ -31,6 +34,7 @@ int main(int argc, char **argv) {
     int arith = atoi(argv[5]), gray = atoi(argv[6]);
     int prog = argc > 7 ? atoi(argv[7]) : 0;
     int dri = argc > 8 ? atoi(argv[8]) : 0;
+    int ms = argc > 9 ? atoi(argv[9]) : 0;
     int ch = gray ? 1 : 3;
     size_t need = (size_t)w * h * ch, n;
     unsigned char *rgb = read_all(stdin, &n);
@@ -51,6 +55,20 @@ int main(int argc, char **argv) {
     cinfo.arith_code = arith ? TRUE : FALSE;
     cinfo.optimize_coding = FALSE;
     if (prog) jpeg_simple_progression(&cinfo);
+    jpeg_scan_info ms_scans[MAX_COMPS_IN_SCAN * 4];
+    if (ms) {
+      /* sequential (Ss=0..63, Ah=Al=0) but one scan per component:
+       * a legal multi-SOS non-interleaved baseline/SOF9 file */
+      int nc = cinfo.num_components;
+      for (int i = 0; i < nc; i++) {
+        ms_scans[i].comps_in_scan = 1;
+        ms_scans[i].component_index[0] = i;
+        ms_scans[i].Ss = 0; ms_scans[i].Se = 63;
+        ms_scans[i].Ah = 0; ms_scans[i].Al = 0;
+      }
+      cinfo.scan_info = ms_scans;
+      cinfo.num_scans = nc;
+    }
     if (dri) cinfo.restart_interval = (unsigned int)dri;
     jpeg_start_compress(&cinfo, TRUE);
     while (cinfo.next_scanline < cinfo.image_height) {

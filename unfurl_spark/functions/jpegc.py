@@ -6,7 +6,10 @@ restart markers) → dequantize → vectorized numpy IDCT → chroma
 upsample → YCbCr→RGB.  Handles SOF0/SOF1 and SOF2 (spectral selection
 + successive approximation per T.81 G.1.2, incl. EOB runs and AC
 refinement correction bits), 4:4:4 / 4:2:2 / 4:2:0 sampling, DRI
-restarts.  Arithmetic coding decodes too — sequential (SOF9) and
+restarts, and multi-SOS NON-INTERLEAVED sequential files (one scan per
+component subset, T.81 A.2.2 — scans accumulate into per-component
+planes and assemble once every component is coded).  Arithmetic coding
+decodes too — sequential (SOF9, incl. non-interleaved multi-scan) and
 progressive (SOF10) via the T.81 QM-coder in ``jpegarith``; only the
 hierarchical/lossless modes stay ``CodecUnavailable``.
 
@@ -197,6 +200,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     arith_dc: dict[int, tuple] = {}   # table id → (L, U)
     arith_ac: dict[int, int] = {}     # table id → Kx
     prog_state: dict[int, dict] = {}  # comp id → {"coefs": ndarray}
+    seq_covered: set[int] = set()     # comp ids coded by sequential scans
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise CodecError("jpeg: marker expected")
@@ -305,18 +309,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for si in range(ns):
                 cid, tids = body[1 + 2 * si], body[2 + 2 * si]
                 scan.append((cid, tids >> 4, tids & 15))
-            if not progressive and len(scan) != len(frame[2]):
-                # both sequential decoders (Huffman and arithmetic)
-                # assume ONE interleaved scan covering every frame
-                # component; a valid non-interleaved multi-SOS
-                # sequential file is an explicit boundary, not a
-                # KeyError/garbage-pixels surprise
-                raise CodecUnavailable(
-                    "jpeg: non-interleaved sequential multi-scan")
-            if arithmetic and not progressive:
-                return _decode_scan_arith(
-                    data, pos + 2 + seg_len, frame, scan, qtables,
-                    arith_dc, arith_ac, restart_interval)
+            if not progressive:
+                # sequential scans accumulate into per-component planes
+                # (T.81 allows multi-SOS non-interleaved baseline/SOF9
+                # files: each scan covers a component subset); assemble
+                # once every frame component has been coded
+                if arithmetic:
+                    _decode_scan_arith(
+                        data, pos + 2 + seg_len, frame, scan, qtables,
+                        arith_dc, arith_ac, restart_interval)
+                else:
+                    _decode_scan(data, pos + 2 + seg_len, frame, scan,
+                                 qtables, htables, restart_interval)
+                seq_covered.update(cid for cid, _d, _a in scan)
+                if len(seq_covered) == len(frame[2]):
+                    return _assemble(frame)
+                pos = _next_marker(data, pos + 2 + seg_len)
+                continue
             if arithmetic:
                 ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
                 pos = _decode_prog_scan_arith(
@@ -324,9 +333,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     ahal >> 4, ahal & 15, arith_dc, arith_ac,
                     restart_interval, prog_state)
                 continue
-            if not progressive:
-                return _decode_scan(data, pos + 2 + seg_len, frame, scan,
-                                    qtables, htables, restart_interval)
             ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
             pos = _decode_prog_scan(
                 data, pos + 2 + seg_len, frame, scan, ss, se,
@@ -339,67 +345,45 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     raise CodecError("jpeg: no scan data")
 
 
-def _decode_scan(data, pos, frame, scan, qtables, htables,
-                 restart_interval) -> np.ndarray:
+def _scan_geometry(frame):
+    """(hmax, vmax, mcux, mcuy) for the frame's interleaved MCU grid."""
     w, h, comps = frame
-    _check_dims(w, h, "jpeg")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    by_id = {c["id"]: c for c in comps}
-    for cid, dc_id, ac_id in scan:
-        c = by_id[cid]
-        c["dc_t"] = htables[(0, dc_id)]
-        c["ac_t"] = htables[(1, ac_id)]
-        c["qt"] = qtables[c["q"]]
+    return hmax, vmax, mcux, mcuy
+
+
+def _prep_scan_comp(c, frame):
+    """Allocate the component's frame-aligned coefficient/pixel plane
+    once (it persists across the scans of a multi-scan sequential file)
+    and reset the DC predictor (per-scan state, T.81 E.2.4)."""
+    _, _, mcux, mcuy = _scan_geometry(frame)
+    if "plane" not in c:
         c["pw"] = mcux * c["h"] * 8
         c["ph"] = mcuy * c["v"] * 8
         c["plane"] = np.zeros((c["ph"], c["pw"]), np.float32)
-        c["pred"] = 0
+    c["pred"] = 0
 
-    reader = _BitReader(data, pos)
-    mcu_count = 0
-    ct = _DCT_C.astype(np.float32)
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if (restart_interval and mcu_count
-                    and mcu_count % restart_interval == 0):
-                reader.align_restart()
-                for c in comps:
-                    c["pred"] = 0
-            for c in comps:
-                for bv in range(c["v"]):
-                    for bh in range(c["h"]):
-                        coeffs = np.zeros(64, np.int32)
-                        t = reader.decode_huff(c["dc_t"])
-                        diff = _extend(reader.read_bits(t), t)
-                        c["pred"] += diff
-                        coeffs[0] = c["pred"]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_huff(c["ac_t"])
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise CodecError("jpeg: AC index overflow")
-                            coeffs[k] = _extend(reader.read_bits(s), s)
-                            k += 1
-                        block = np.zeros(64, np.float32)
-                        block[ZIGZAG] = coeffs * c["qt"][np.arange(64)]
-                        # IDCT: x = M.T X M with M the orthonormal DCT
-                        # basis; _DCT_C == M.T
-                        px = ct @ block.reshape(8, 8) @ ct.T
-                        y0 = (my * c["v"] + bv) * 8
-                        x0 = (mx * c["h"] + bh) * 8
-                        c["plane"][y0:y0 + 8, x0:x0 + 8] = px
-            mcu_count += 1
 
+def _noninterleaved_blocks(c, frame):
+    """Block walk of one component's own sampling grid (T.81 A.2.2:
+    a single-component scan is NOT MCU-interleaved; its 'MCU' is one
+    block and the walk covers ceil(comp_w/8) x ceil(comp_h/8))."""
+    w, h, _ = frame
+    hmax, vmax, _, _ = _scan_geometry(frame)
+    bw = (w * c["h"] + 8 * hmax - 1) // (8 * hmax)
+    bh = (h * c["v"] + 8 * vmax - 1) // (8 * vmax)
+    for by in range(bh):
+        for bx in range(bw):
+            yield by * 8, bx * 8
+
+
+def _assemble(frame) -> np.ndarray:
+    """Upsample + color-convert the accumulated component planes."""
+    w, h, comps = frame
+    hmax, vmax, _, _ = _scan_geometry(frame)
     planes = []
     for c in comps:
         p = c["plane"] + 128.0
@@ -416,100 +400,190 @@ def _decode_scan(data, pos, frame, scan, qtables, htables,
     return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)
 
 
+def _next_marker(data, pos) -> int:
+    """Skip one scan's entropy-coded data: first non-RST marker at or
+    after ``pos``.  Valid for both entropy coders — Huffman stuffs 0x00
+    after a data 0xFF; the QM coder bit-stuffs so the byte after a data
+    0xFF is < 0x80 — so an 0xFF followed by 0xC0..0xFE (excluding RSTn)
+    can only be a real marker."""
+    i, n = pos, len(data)
+    while i + 1 < n:
+        if data[i] == 0xFF:
+            b = data[i + 1]
+            if 0xC0 <= b < 0xFF and not (0xD0 <= b <= 0xD7):
+                return i
+        i += 1
+    return n
+
+
+def _decode_scan(data, pos, frame, scan, qtables, htables,
+                 restart_interval) -> None:
+    """One sequential Huffman scan → the scan components' planes.
+    Handles both the interleaved (multi-component MCU) and the
+    non-interleaved (single-component block) walks; the dispatcher
+    assembles pixels once every frame component has been covered."""
+    w, h, comps = frame
+    _check_dims(w, h, "jpeg")
+    by_id = {c["id"]: c for c in comps}
+    scomps = []
+    for cid, dc_id, ac_id in scan:
+        c = by_id[cid]
+        c["dc_t"] = htables[(0, dc_id)]
+        c["ac_t"] = htables[(1, ac_id)]
+        c["qt"] = qtables[c["q"]]
+        _prep_scan_comp(c, frame)
+        scomps.append(c)
+
+    reader = _BitReader(data, pos)
+    ct = _DCT_C.astype(np.float32)
+
+    def decode_block(c, y0, x0):
+        coeffs = np.zeros(64, np.int32)
+        t = reader.decode_huff(c["dc_t"])
+        diff = _extend(reader.read_bits(t), t)
+        c["pred"] += diff
+        coeffs[0] = c["pred"]
+        k = 1
+        while k < 64:
+            rs = reader.decode_huff(c["ac_t"])
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise CodecError("jpeg: AC index overflow")
+            coeffs[k] = _extend(reader.read_bits(s), s)
+            k += 1
+        block = np.zeros(64, np.float32)
+        block[ZIGZAG] = coeffs * c["qt"][np.arange(64)]
+        # IDCT: x = M.T X M with M the orthonormal DCT basis;
+        # _DCT_C == M.T
+        px = ct @ block.reshape(8, 8) @ ct.T
+        c["plane"][y0:y0 + 8, x0:x0 + 8] = px
+
+    mcu_count = 0
+    if len(scomps) == 1:
+        c = scomps[0]
+        for y0, x0 in _noninterleaved_blocks(c, frame):
+            if (restart_interval and mcu_count
+                    and mcu_count % restart_interval == 0):
+                reader.align_restart()
+                c["pred"] = 0
+            decode_block(c, y0, x0)
+            mcu_count += 1
+        return
+    _, _, mcux, mcuy = _scan_geometry(frame)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (restart_interval and mcu_count
+                    and mcu_count % restart_interval == 0):
+                reader.align_restart()
+                for c in scomps:
+                    c["pred"] = 0
+            for c in scomps:
+                for bv in range(c["v"]):
+                    for bh in range(c["h"]):
+                        decode_block(c, (my * c["v"] + bv) * 8,
+                                     (mx * c["h"] + bh) * 8)
+            mcu_count += 1
+
+
 def _decode_scan_arith(data, pos, frame, scan, qtables, arith_dc,
-                       arith_ac, restart_interval) -> np.ndarray:
-    """Sequential arithmetic-coded scan (SOF9): same MCU walk and
-    reconstruction as _decode_scan with the QM entropy decoder from
-    jpegarith (T.81 §F.2.4) in place of Huffman.  Like _decode_scan,
-    expects ONE interleaved scan covering every frame component — the
-    dispatcher rejects non-interleaved multi-SOS sequential files with
-    CodecUnavailable before either is called."""
+                       arith_ac, restart_interval) -> None:
+    """One sequential arithmetic-coded scan (SOF9): same walks as
+    _decode_scan with the QM entropy decoder from jpegarith (T.81
+    §F.2.4) in place of Huffman — interleaved MCU grid for
+    multi-component scans, per-component block grid for
+    single-component scans (non-interleaved multi-SOS files).  Fills
+    the scan components' planes; the dispatcher assembles."""
     from .jpegarith import ArithDecoder, decode_ac_arith, decode_dc_arith
 
     w, h, comps = frame
     _check_dims(w, h, "jpeg")
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     by_id = {c["id"]: c for c in comps}
+    scomps = []
     for ci, (cid, dc_id, ac_id) in enumerate(scan):
         c = by_id[cid]
         c["dc_l"], c["dc_u"] = arith_dc.get(dc_id, (0, 1))
         c["kx"] = arith_ac.get(ac_id, 5)
         c["dc_tid"], c["ac_tid"] = dc_id, ac_id
         c["qt"] = qtables[c["q"]]
-        c["pw"] = mcux * c["h"] * 8
-        c["ph"] = mcuy * c["v"] * 8
-        c["plane"] = np.zeros((c["ph"], c["pw"]), np.float32)
-        c["pred"] = 0
+        _prep_scan_comp(c, frame)
         c["idx"] = ci
+        scomps.append(c)
 
     def fresh_stats():
-        dc = {tid: bytearray(64) for tid in {c["dc_tid"] for c in comps}}
-        ac = {tid: bytearray(256) for tid in {c["ac_tid"] for c in comps}}
+        # statistics areas are per-scan state (E.2.4 / F.2.4), keyed by
+        # the tables the SCAN components name — a subset scan must not
+        # touch tables it does not use
+        dc = {tid: bytearray(64) for tid in {c["dc_tid"] for c in scomps}}
+        ac = {tid: bytearray(256) for tid in {c["ac_tid"] for c in scomps}}
         return dc, ac
 
     dec = ArithDecoder(data, pos)
     dc_stats, ac_stats = fresh_stats()
-    dc_ctx = [0] * len(comps)
-    mcu_count = 0
+    dc_ctx = [0] * len(scomps)
     ct = _DCT_C.astype(np.float32)
+
+    def decode_block(c, y0, x0):
+        coeffs = np.zeros(64, np.int32)
+        diff = decode_dc_arith(
+            dec, dc_stats[c["dc_tid"]], dc_ctx,
+            c["idx"], c["dc_l"], c["dc_u"])
+        c["pred"] += diff
+        coeffs[0] = c["pred"]
+        k = 1
+        stats = ac_stats[c["ac_tid"]]
+        while k <= 63:
+            k, v = decode_ac_arith(dec, stats, k, c["kx"], 63)
+            if v is None:
+                break
+            coeffs[k] = v
+            k += 1
+        block = np.zeros(64, np.float32)
+        block[ZIGZAG] = coeffs * c["qt"][np.arange(64)]
+        px = ct @ block.reshape(8, 8) @ ct.T
+        c["plane"][y0:y0 + 8, x0:x0 + 8] = px
+
+    def restart():
+        nonlocal dec, dc_stats, ac_stats, dc_ctx
+        # skip to just past the RSTn marker, reinit everything
+        p2 = dec.pos
+        while p2 + 1 < len(data) and not (
+                data[p2] == 0xFF
+                and 0xD0 <= data[p2 + 1] <= 0xD7):
+            p2 += 1
+        dec = ArithDecoder(data, p2 + 2)
+        dc_stats, ac_stats = fresh_stats()
+        dc_ctx = [0] * len(scomps)
+        for c in scomps:
+            c["pred"] = 0
+
+    mcu_count = 0
+    if len(scomps) == 1:
+        c = scomps[0]
+        for y0, x0 in _noninterleaved_blocks(c, frame):
+            if (restart_interval and mcu_count
+                    and mcu_count % restart_interval == 0):
+                restart()
+            decode_block(c, y0, x0)
+            mcu_count += 1
+        return
+    _, _, mcux, mcuy = _scan_geometry(frame)
     for my in range(mcuy):
         for mx in range(mcux):
             if (restart_interval and mcu_count
                     and mcu_count % restart_interval == 0):
-                # skip to just past the RSTn marker, reinit everything
-                p2 = dec.pos
-                while p2 + 1 < len(data) and not (
-                        data[p2] == 0xFF
-                        and 0xD0 <= data[p2 + 1] <= 0xD7):
-                    p2 += 1
-                dec = ArithDecoder(data, p2 + 2)
-                dc_stats, ac_stats = fresh_stats()
-                dc_ctx = [0] * len(comps)
-                for c in comps:
-                    c["pred"] = 0
-            for c in comps:
+                restart()
+            for c in scomps:
                 for bv in range(c["v"]):
                     for bh in range(c["h"]):
-                        coeffs = np.zeros(64, np.int32)
-                        diff = decode_dc_arith(
-                            dec, dc_stats[c["dc_tid"]], dc_ctx,
-                            c["idx"], c["dc_l"], c["dc_u"])
-                        c["pred"] += diff
-                        coeffs[0] = c["pred"]
-                        k = 1
-                        stats = ac_stats[c["ac_tid"]]
-                        while k <= 63:
-                            k, v = decode_ac_arith(dec, stats, k,
-                                                   c["kx"], 63)
-                            if v is None:
-                                break
-                            coeffs[k] = v
-                            k += 1
-                        block = np.zeros(64, np.float32)
-                        block[ZIGZAG] = coeffs * c["qt"][np.arange(64)]
-                        px = ct @ block.reshape(8, 8) @ ct.T
-                        y0 = (my * c["v"] + bv) * 8
-                        x0 = (mx * c["h"] + bh) * 8
-                        c["plane"][y0:y0 + 8, x0:x0 + 8] = px
+                        decode_block(c, (my * c["v"] + bv) * 8,
+                                     (mx * c["h"] + bh) * 8)
             mcu_count += 1
-
-    planes = []
-    for c in comps:
-        p = c["plane"] + 128.0
-        if c["h"] != hmax or c["v"] != vmax:
-            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
-                          hmax // c["h"], axis=1)
-        planes.append(p[:h, :w])
-    if len(planes) == 1:
-        return np.clip(planes[0], 0, 255).astype(np.uint8)[:, :, None]
-    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(np.dstack([r, g, b]), 0, 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
