@@ -336,13 +336,13 @@ def test_decode_media_new_containers(spark):
     assert got["anim.apng"]["container"] == "png"
     assert got["logo.svg"]["container"] == "svg"
     assert (got["logo.svg"]["width"], got["logo.svg"]["height"]) == (64, 48)
-    assert got["logo.svg"]["ok"] == "codec:unavailable"  # dims real
+    assert got["logo.svg"]["ok"] == "ok"  # solid subset rasterizes
 
     feats = {r["media_ref"]: r
              for r in extract_features(df, dim=16).collect()}
     for ref in ("fav.ico", "scan.tiff", "song.flac"):
         assert feats[ref]["ok"] == "ok", ref
-    assert feats["logo.svg"]["ok"] == "codec:unavailable"
+    assert feats["logo.svg"]["ok"] == "ok"
 
     fr = sorted((r for r in sample_frames(df, n_frames=3).collect()
                  if r["media_ref"] == "anim.apng"),

@@ -116,6 +116,8 @@ def test_media_job_new_containers(spark, tmp_path):
             8000, (1000 * np.sin(np.arange(3000) / 9)
                    ).astype(np.int16).reshape(-1, 1)),
         "logo.svg": b'<svg width="10" height="20"></svg>',
+        "grad.svg": b'<svg width="8" height="8"><rect width="8" height="8"'
+                    b' fill="url(#g)"/></svg>',
     }
     src = str(tmp_path / "media.parquet")
     pq.write_table(pa.table({
@@ -126,8 +128,10 @@ def test_media_job_new_containers(spark, tmp_path):
     out = str(tmp_path / "out")
     s = run_media_job(spark, src, out, ops=("decode", "features"),
                       n_buckets=2, buckets_per_job=2, run_id="nc1")
-    assert s["n_media"] == 5
-    assert s["n_decoded"] == 4          # all but svg
+    assert s["n_media"] == 6
+    # the empty solid-subset svg rasterizes for real now; only the
+    # gradient-painted one stays at the boundary
+    assert s["n_decoded"] == 5
     assert s["n_codec_unavailable"] == 1
     assert s["n_errors"] == 0
     meta = {r["media_ref"]: r
@@ -138,4 +142,5 @@ def test_media_job_new_containers(spark, tmp_path):
     assert meta["song.flac"]["container"] == "flac"
     assert (meta["logo.svg"]["width"], meta["logo.svg"]["height"]) \
         == (10, 20)
-    assert meta["logo.svg"]["ok"] == "codec:unavailable"
+    assert meta["logo.svg"]["ok"] == "ok"
+    assert meta["grad.svg"]["ok"] == "codec:unavailable"

@@ -123,8 +123,10 @@ def decode_pixels(payload: bytes, container: str):
         from .codecs_ext import decode_aiff
         return decode_aiff(payload)
     if container == "svg":
-        raise CodecUnavailable(
-            "svg: vector rasterization out of scope (dims are real)")
+        # solid-fill static subset rasterizes for real (svgraster.py);
+        # strokes/gradients/text/arcs raise CodecUnavailable inside
+        from .svgraster import rasterize_svg
+        return rasterize_svg(payload)
     if container in ("mp4", "mp3", "m4a", "mov", "webm"):
         if container == "mp4":
             # Motion-JPEG track: first sample is a whole baseline JPEG
