@@ -174,3 +174,31 @@ SELECT (SELECT avg(cos) FROM a1 WHERE rn = 1) AS seed_obj,
     assert trained_obj > seed_obj, (seed_obj, trained_obj)
     assert trained_maxcell <= seed_maxcell, (seed_maxcell, trained_maxcell)
     assert trained_cells == 16    # no cell collapsed during training
+
+
+def test_pq_adc_rerank_recall(spark):
+    """Product quantization (8 subspaces × 16 centroids, 2 Lloyd
+    iterations per subspace, ADC shortlist + exact re-rank): recall@10
+    vs brute-force L2.  Measured 1.0 at sf0.01 with shortlist 100
+    (0.8 at 50); floored at 0.8 for data-regeneration headroom."""
+    import duckdb
+
+    from unfurl_spark.operators import queries as q
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{SF_DIR}/embeddings.parquet'")
+    brute = [r[0] for r in con.execute("""
+WITH v AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+q AS (SELECT v AS qv FROM v WHERE vec_id = 0)
+SELECT a.vec_id FROM v a CROSS JOIN q WHERE a.vec_id <> 0
+ORDER BY list_dot_product(a.v, a.v) - 2 * list_dot_product(a.v, q.qv)
+         + list_dot_product(q.qv, q.qv), a.vec_id
+LIMIT 10""").fetchall()]
+    got = {r.vec_id
+           for r in q.QUERIES["ann_pq_adc_topk"][0](spark, SF_DIR)
+           .collect()}
+    recall = len(set(brute) & got) / 10
+    assert recall >= 0.8, f"PQ ADC+rerank recall@10 {recall} < 0.8"

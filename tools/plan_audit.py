@@ -167,6 +167,12 @@ BNL_ALLOWED = {
         (9, "4 Lloyd/assign passes against the ≤16-row codebook + 1-row "
             "query vector; CTE inlining re-expands the final assign "
             "subtree under both cells and qprobe (build sides all tiny)"),
+    "ann_pq_adc_topk":
+        (49, "8 subspaces × (3 Lloyd/assign passes vs a 16-row codebook "
+             "+ 1-row query-slice LUT join) + the final 1-row query "
+             "re-rank; every build side is ≤16 rows by construction — "
+             "PQ training IS tiny-side passes, the corpus never "
+             "self-joins"),
     "tfidf_top_terms": (1, "cross join against the 1-row corpus-size agg"),
     "text_lm_logprob": (1, "cross join against the 1-row token-total agg"),
 }
