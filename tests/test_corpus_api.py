@@ -117,3 +117,38 @@ def test_url_dedup(spark):
     plan = C.url_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_substring_dup_stats_matches_registry(spark):
+    """Parameterized API twin of dedup_substring_windows[_hashed]:
+    default window reproduces the oracled registry relation bit-for-bit
+    in BOTH modes, on any (id, text) table."""
+    from unfurl_spark.operators.corpus import substring_dup_stats
+    from unfurl_spark.operators.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    reg = sorted(map(tuple,
+                     QUERIES["dedup_substring_windows"][0](spark, sf)
+                     .collect()))
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    for hashed in (False, True):
+        api = sorted(map(tuple,
+                         substring_dup_stats(docs, hashed=hashed)
+                         .collect()))
+        assert api == reg, f"hashed={hashed}"
+
+
+def test_substring_dup_stats_custom_columns(spark):
+    from unfurl_spark.operators.corpus import substring_dup_stats
+
+    passage = " ".join(f"p{i}" for i in range(20))
+    rows = [(1, f"x0 x1 x2 {passage}"),
+            (2, f"y0 {passage}"),
+            (3, " ".join(f"u{i}" for i in range(30)))]
+    df = spark.createDataFrame(rows, "rid long, body string")
+    got = {r["rid"]: r for r in
+           substring_dup_stats(df, text_col="body", id_col="rid",
+                               window=16).collect()}
+    assert got[1]["n_dup_windows"] == 5   # 20-word passage, 16-word wins
+    assert got[2]["n_dup_windows"] == 5
+    assert got[3]["n_dup_windows"] == 0

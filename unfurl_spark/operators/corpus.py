@@ -98,6 +98,49 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
             .drop("__keeper"))
 
 
+def substring_dup_stats(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", window: int = 16,
+                        hashed: bool = True) -> DataFrame:
+    """Suffix-granularity duplicated-substring statistics per row
+    (Lee et al. 2022 §4.1 as a DataFrame op): stride-1 ``window``-word
+    sliding windows catch duplicated passages at ANY offset; returns
+    (id_col, n_windows, n_dup_windows, dup_frac).
+
+    ``hashed=True`` is the 100 TB shape: the full-corpus shuffle moves
+    xxhash64 keys (8 bytes/window) and only hash-shared candidates —
+    <<1% of a web corpus — re-shuffle as strings for exact
+    verification, so a collision can gate a candidate IN but never
+    mark a non-duplicate.  Both modes return the identical relation
+    (the registry twins `dedup_substring_windows[_hashed]` carry the
+    DuckDB oracle; parameterized equivalence in test_corpus_api.py)."""
+    w = F.split(F.col(text_col), " ")
+    wins = F.when(
+        F.size(w) >= window,
+        F.transform(F.sequence(F.lit(1), F.size(w) - window + 1),
+                    lambda i: F.array_join(F.slice(w, i, window), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    dwin = (df.select(F.col(id_col), F.explode(wins).alias("win"))
+            .distinct())
+    if hashed:
+        hwin = dwin.withColumn("h", F.xxhash64("win"))
+        hcand = (hwin.groupBy("h")
+                 .agg(F.countDistinct(id_col).alias("nd"))
+                 .filter(F.col("nd") > 1).select("h"))
+        dup = (hwin.join(hcand, "h").groupBy("win")
+               .agg(F.count("*").alias("n")).filter(F.col("n") > 1)
+               .select("win"))
+    else:
+        dup = (dwin.groupBy("win").agg(F.count("*").alias("n"))
+               .filter(F.col("n") > 1).select("win"))
+    marked = dwin.join(dup.withColumn("__dup", F.lit(1)), "win", "left")
+    return (marked.groupBy(id_col)
+            .agg(F.count("*").alias("n_windows"),
+                 F.count("__dup").alias("n_dup_windows"))
+            .withColumn("dup_frac",
+                        F.round(F.col("n_dup_windows").cast("double")
+                                / F.col("n_windows"), 4)))
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-row quality columns (the ``text_quality_score`` feature set):
     n_chars_m, word_density, punct_ratio, mean word length — pure native
