@@ -487,9 +487,11 @@ def decode_webp(data: bytes) -> np.ndarray:
     """RIFF WebP container → pixels.  Both flavors decode for real:
     lossless (VP8L, RFC 9649) here, lossy key frames (VP8, RFC 6386)
     via ``vp8.decode_vp8`` — bit-exact vs libwebp in test_vp8.py.
-    Only VP8 inter frames (animation sub-frames that reference a prior
-    frame) remain a ``CodecUnavailable`` boundary, raised inside
-    ``vp8.py`` itself."""
+    That covers the ENTIRE WebP format: the container spec requires
+    every still and every ANMF animation frame to be a complete
+    independently-decodable image, so VP8 inter frames never occur in
+    WebP — they exist only in WebM video essence, where ``vp8.py``
+    raises its ``CodecUnavailable`` boundary."""
     if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise CodecError("webp: bad container")
     i, n = 12, len(data)

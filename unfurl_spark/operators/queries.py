@@ -343,6 +343,33 @@ GROUP BY c.c_nationkey
 ORDER BY c.c_nationkey
 """)
 
+# relational competence: TPC-H Q13 form — LEFT OUTER + two-level
+# aggregate (customers with ZERO orders must appear in the c_count=0
+# histogram bucket, which an inner join silently drops)
+_q("tpch_q13_custdist", """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) cc
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""")
+
+# relational competence: TPC-H Q17 form — correlated scalar subquery
+# per part (decorrelates to a broadcastable per-part aggregate join)
+_q("tpch_q17_small_qty_revenue", """
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+    SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p.p_partkey)
+""")
+
 # grouped top-k per group (window rank) — dedup family's per-key keeper
 _q("topk_per_group", """
 SELECT lang, doc_id, n_chars
