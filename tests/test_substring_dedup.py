@@ -99,3 +99,48 @@ def test_hashed_variant_bit_identical(spark, tmp_path):
                    QUERIES["dedup_substring_windows_hashed"][0](spark, sf)
                    .collect()))
     assert a == b
+
+
+@pytest.mark.usefixtures("spark")
+def test_simhash_hamming_pairs_band_completeness(spark, tmp_path):
+    """Pigeonhole guarantee: the 4×4-bit band join is a SUPERSET of all
+    pairs within Hamming distance 3, so every hd≤2 pair the brute-force
+    scan finds must be in the banded result — verified on the planted
+    corpus plus DuckDB brute force at sf0.01."""
+    import duckdb
+
+    from unfurl_spark.operators import queries as q
+
+    sf = "/root/testdata/sf0.01"
+    banded = {(r["doc_a"], r["doc_b"])
+              for r in q.QUERIES["dedup_simhash_hamming_pairs"][0](
+                  spark, sf).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    brute = {(a, b) for a, b in con.execute(f"""
+WITH sh AS (
+  SELECT doc_id, CAST({q._SIMHASH_BITS} AS BIGINT) AS simhash
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  GROUP BY doc_id
+)
+SELECT a.doc_id, b.doc_id
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""").fetchall()}
+    assert banded == brute     # banding loses nothing at hd<=2
+    # identical docs pair at hamming 0
+    text = " ".join(f"w{i}" for i in range(40))
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [text, text, "completely different tokens only here"],
+        "lang": ["en"] * 3, "source": ["web"] * 3, "n_chars": [0, 0, 0],
+    }), str(tmp_path / "documents.parquet"))
+    _link_other_tables(tmp_path)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in q.QUERIES["dedup_simhash_hamming_pairs"][0](
+               spark, str(tmp_path)).collect()}
+    assert got.get((1, 2)) == 0

@@ -525,6 +525,55 @@ FROM (
 GROUP BY doc_id
 """ % _SIMHASH_BITS)
 
+# SimHash near-dup PAIRING (completes the simhash pipeline the way
+# LSH buckets complete minhash): split the 16-bit signature into 4
+# bands of 4 bits — by pigeonhole, any pair within Hamming distance 3
+# shares at least one full band, so the band equi-join is a guaranteed
+# superset of the ≤2-bit pairs we emit after exact bit_count verify.
+# Candidate space is band-bucket-bounded (never all-pairs).  At 100 TB
+# the production signature is 64-bit with 4×16-bit bands — identical
+# plan shape, same guarantee for hd≤3.
+_SIMHASH_CTE = """
+WITH sh AS (
+  SELECT doc_id, CAST(%s AS BIGINT) AS simhash
+  FROM (
+    %s
+  )
+  GROUP BY doc_id
+), bands AS (
+  %s
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(%s AS INT) AS hamming
+FROM cand
+WHERE %s <= 2
+ORDER BY doc_a, doc_b
+"""
+
+
+def _simhash_pairs_sql(tok_body, band_expr, ham_expr):
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} * 16 + ({band_expr(b)}) AS bk FROM sh"
+        for b in range(4))
+    return _SIMHASH_CTE % (_SIMHASH_BITS, tok_body, bands_union,
+                           ham_expr, ham_expr)
+
+
+_q("dedup_simhash_hamming_pairs",
+   _simhash_pairs_sql(
+       "SELECT doc_id, t.word FROM documents "
+       "LATERAL VIEW explode(split(text, ' ')) t AS word",
+       lambda b: f"shiftright(simhash, {4 * b}) & 15",
+       "bit_count(sa ^ sb)"),
+   _simhash_pairs_sql(
+       "SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+       "FROM documents",
+       lambda b: f"(simhash >> {4 * b}) & 15",
+       "bit_count(xor(sa, sb))"))
+
 # n-gram Jaccard between LSH-candidate pairs.  The candidate pairs explode
 # into (doc_a, doc_b, doc_id) rows — one per side — and EQUI-join the
 # distinct shingle table on doc_id, so the verify stage shuffles on doc_id
