@@ -240,6 +240,7 @@ def test_flac_rejects_garbage():
 
 @pytest.mark.parametrize("compression,predictor", [
     ("none", False), ("packbits", False), ("lzw", False), ("lzw", True),
+    ("deflate", False), ("deflate", True),
 ])
 def test_tiff_roundtrip_rgb(compression, predictor):
     img = RNG.integers(0, 256, (70, 33, 3), dtype=np.uint8)
@@ -382,7 +383,7 @@ def test_ico_roundtrip_property(w, h, ch, seed):
 
 @settings(max_examples=25, deadline=None)
 @given(st.integers(1, 50), st.integers(1, 50),
-       st.sampled_from(["none", "packbits", "lzw"]),
+       st.sampled_from(["none", "packbits", "lzw", "deflate"]),
        st.integers(0, 2**32 - 1))
 def test_tiff_roundtrip_property(w, h, compression, seed):
     img = np.random.default_rng(seed).integers(

@@ -957,6 +957,16 @@ def decode_tiff(data: bytes) -> np.ndarray:
             raw += _tiff_lzw_decode(chunk, expected)
         elif comp == 32773:
             raw += _packbits_decode(chunk, expected)
+        elif comp in (8, 32946):
+            # Deflate (8 = Adobe/TIFF-EP standard, 32946 = legacy tag)
+            import zlib
+            try:
+                d = zlib.decompress(chunk)
+            except zlib.error as exc:
+                raise CodecError(f"tiff: bad deflate strip ({exc})")
+            if len(d) < expected:
+                raise CodecError("tiff: short deflate strip")
+            raw += d[:expected]
         else:
             raise CodecError(f"tiff: compression {comp} unsupported")
         row0 += nrows
@@ -980,10 +990,11 @@ def decode_tiff(data: bytes) -> np.ndarray:
 def encode_tiff(img: np.ndarray, compression: str = "none",
                 predictor: bool = False) -> bytes:
     """Fixture writer: little-endian, single strip per 64 rows,
-    compression in {none, packbits, lzw}."""
+    compression in {none, packbits, lzw, deflate}."""
     img = np.atleast_3d(np.asarray(img, np.uint8))
     h, w, spp = img.shape
-    comp_tag = {"none": 1, "lzw": 5, "packbits": 32773}[compression]
+    comp_tag = {"none": 1, "lzw": 5, "packbits": 32773,
+                "deflate": 8}[compression]
     rows_per = 64
     body = img
     if predictor:
@@ -995,6 +1006,9 @@ def encode_tiff(img: np.ndarray, compression: str = "none",
         chunk = body[r0:r0 + rows_per].tobytes()
         if compression == "none":
             strips.append(chunk)
+        elif compression == "deflate":
+            import zlib
+            strips.append(zlib.compress(chunk))
         elif compression == "lzw":
             strips.append(_tiff_lzw_encode(chunk))
         else:  # packbits: literal-only runs (valid, not minimal)

@@ -80,7 +80,13 @@ SESSION_STATE = ("session_id int, session_start long, last_ts long, "
 
 def sessionize(events, gap_minutes: float = 30.0):
     """Custom stateful operator: gap-based sessionization per user via
-    ``applyInPandasWithState`` — the engine's UD-stateful surface
+    ``applyInPandasWithState`` — the engine's UD-stateful surface.
+    (Spark 4's ``transformWithStateInPandas`` successor was probed in
+    round 5: this sandbox's build fails in the RocksDB state-store
+    coordinator RPC for both batch and streaming TWS queries, so the
+    GA applyInPandasWithState path — still fully supported in 4.x —
+    stays the implementation; the kernel is API-agnostic and ports in
+    one method move when TWS is available.)
     (the Spark twin of a reference plugin, unfurl/src/index.ts:26).
 
     Emits one row per *closed* session; state per user is
