@@ -10,8 +10,12 @@ restarts, and multi-SOS NON-INTERLEAVED sequential files (one scan per
 component subset, T.81 A.2.2 — scans accumulate into per-component
 planes and assemble once every component is coded).  Arithmetic coding
 decodes too — sequential (SOF9, incl. non-interleaved multi-scan) and
-progressive (SOF10) via the T.81 QM-coder in ``jpegarith``; only the
-hierarchical/lossless modes stay ``CodecUnavailable``.
+progressive (SOF10) via the T.81 QM-coder in ``jpegarith`` — and so
+does the LOSSLESS process (SOF3, Annex H: spatial DPCM, predictors
+1-7, point transform, modulo-65536).  The remaining boundaries are the
+hierarchical modes (SOF5-7/13-15), arithmetic lossless (SOF11), and
+lossless precision above 8 bits (12/16-bit DNG raws exceed the uint8
+pixel contract).
 
 Encoders (test-fixture use): baseline with Annex K tables, and a
 progressive encoder with the conventional multi-scan script.  Encoder
@@ -201,6 +205,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     arith_ac: dict[int, int] = {}     # table id → Kx
     prog_state: dict[int, dict] = {}  # comp id → {"coefs": ndarray}
     seq_covered: set[int] = set()     # comp ids coded by sequential scans
+    lossless = 0                      # SOF3: sample precision, else 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise CodecError("jpeg: marker expected")
@@ -296,7 +301,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 prog_state[c["id"]] = {
                     "coefs": np.zeros(
                         (mcuy * c["v"], mcux * c["h"], 64), np.int32)}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
+        elif marker == 0xC3:  # SOF3: Huffman lossless (T.81 Annex H)
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if nc not in (1, 3):
+                raise CodecUnavailable(f"jpeg: {nc}-component frame")
+            if not 2 <= prec <= 8:
+                # 12/16-bit lossless (DNG raws) exceeds the uint8 pixel
+                # contract of this pipeline
+                raise CodecUnavailable(
+                    f"jpeg: {prec}-bit lossless precision")
+            comps = []
+            for ci in range(nc):
+                cid, sampling, qid = body[6 + 3 * ci:9 + 3 * ci]
+                comps.append({"id": cid, "h": sampling >> 4,
+                              "v": sampling & 15, "q": qid})
+            frame = (w, h, comps)
+            lossless = prec
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise CodecUnavailable(f"jpeg: SOF{marker - 0xC0} unsupported")
         elif marker == 0xDD:  # DRI
@@ -309,6 +330,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for si in range(ns):
                 cid, tids = body[1 + 2 * si], body[2 + 2 * si]
                 scan.append((cid, tids >> 4, tids & 15))
+            if lossless:
+                ss, _se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+                _decode_scan_lossless(
+                    data, pos + 2 + seg_len, frame, scan, htables,
+                    restart_interval, ss, ahal & 15, lossless)
+                seq_covered.update(cid for cid, _d, _a in scan)
+                if len(seq_covered) == len(frame[2]):
+                    return _assemble_lossless(frame, ahal & 15, lossless)
+                pos = _next_marker(data, pos + 2 + seg_len)
+                continue
             if not progressive:
                 # sequential scans accumulate into per-component planes
                 # (T.81 allows multi-SOS non-interleaved baseline/SOF9
@@ -414,6 +445,89 @@ def _next_marker(data, pos) -> int:
                 return i
         i += 1
     return n
+
+
+def _decode_scan_lossless(data, pos, frame, scan, htables,
+                          restart_interval, psv, pt, prec) -> None:
+    """One lossless-process scan (T.81 Annex H): spatial DPCM with the
+    scan-selected predictor, Huffman-coded difference magnitudes (the
+    DC table code, plus the SSSS=16 → 32768 special), modulo-65536
+    reconstruction.  Interleaved MCU = one sample per component;
+    sampling factors other than 1×1 are out of scope.  Fills integer
+    sample planes; ``_assemble_lossless`` stacks them (no color
+    transform — the lossless process is colorspace-agnostic)."""
+    w, h, comps = frame
+    _check_dims(w, h, "jpeg")
+    by_id = {c["id"]: c for c in comps}
+    scomps = []
+    for cid, dc_id, _ac in scan:
+        c = by_id[cid]
+        if c["h"] != 1 or c["v"] != 1:
+            raise CodecUnavailable("jpeg: lossless subsampling")
+        c["dc_t"] = htables[(0, dc_id)]
+        if "plane" not in c:
+            c["plane"] = np.zeros((h, w), np.int32)
+        scomps.append(c)
+
+    reader = _BitReader(data, pos)
+    default = 1 << (prec - pt - 1)
+    mcu = 0
+    reset = False   # sample after RSTn predicts from the default
+
+    def diff_of(c) -> int:
+        t = reader.decode_huff(c["dc_t"])
+        if t == 16:             # T.81 H.1.2.3: no appended bits
+            return 32768
+        return _extend(reader.read_bits(t), t) if t else 0
+
+    for y in range(h):
+        for x in range(w):
+            if (restart_interval and mcu
+                    and mcu % restart_interval == 0):
+                reader.align_restart()
+                reset = True
+            for c in scomps:
+                p = c["plane"]
+                if reset or (y == 0 and x == 0):
+                    px = default
+                elif y == 0:
+                    px = int(p[0, x - 1])
+                elif x == 0:
+                    px = int(p[y - 1, 0])
+                else:
+                    ra, rb, rc = (int(p[y, x - 1]), int(p[y - 1, x]),
+                                  int(p[y - 1, x - 1]))
+                    if psv == 1:
+                        px = ra
+                    elif psv == 2:
+                        px = rb
+                    elif psv == 3:
+                        px = rc
+                    elif psv == 4:
+                        px = ra + rb - rc
+                    elif psv == 5:
+                        px = ra + ((rb - rc) >> 1)
+                    elif psv == 6:
+                        px = rb + ((ra - rc) >> 1)
+                    elif psv == 7:
+                        px = (ra + rb) >> 1
+                    else:
+                        raise CodecError(f"jpeg: lossless predictor {psv}")
+                p[y, x] = (px + diff_of(c)) & 0xFFFF
+            reset = False
+            mcu += 1
+
+
+def _assemble_lossless(frame, pt, prec) -> np.ndarray:
+    """Stack the DPCM sample planes: output = Rx << Pt, masked to the
+    declared precision.  No upsampling (1×1 enforced) and no YCbCr
+    transform — T.81's lossless process codes input samples directly."""
+    w, h, comps = frame
+    planes = [((c["plane"] << pt) & ((1 << prec) - 1)).astype(np.uint8)
+              for c in comps]
+    if len(planes) == 1:
+        return planes[0][:, :, None]
+    return np.dstack(planes)
 
 
 def _decode_scan(data, pos, frame, scan, qtables, htables,
@@ -1333,5 +1447,83 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85,
         ac_scan(0, 1, 63, 2, 1)
         dc_scan(0, first=False)
         ac_scan(0, 1, 63, 1, 0)
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def encode_jpeg_lossless(img: np.ndarray, psv: int = 1, pt: int = 0,
+                         restart_interval: int = 0) -> bytes:
+    """Fixture writer: T.81 Annex H lossless process (SOF3), 8-bit,
+    1×1 sampling, single interleaved scan, predictor ``psv`` (1-7),
+    point transform ``pt``.  Independent walk of the spec so the
+    round-trip tests pin the decoder (no system lossless codec exists
+    to golden against — libjpeg-turbo < 3.0)."""
+    img = np.atleast_3d(np.asarray(img, np.uint8))
+    h, w, nc = img.shape
+    if nc == 4:
+        img = img[:, :, :3]
+        nc = 3
+    if not 1 <= psv <= 7:
+        raise ValueError(f"psv {psv}")
+    samples = (img.astype(np.int32) >> pt)
+    prec = 8
+
+    out = bytearray(b"\xFF\xD8")
+    if restart_interval:
+        out += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xFF\xC3" + struct.pack(">HBHHB", 8 + 3 * nc, prec, h, w, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x11, 0])
+    bits, values = HT_DC_LUMA
+    out += (b"\xFF\xC4" + struct.pack(">HB", 19 + len(values), 0)
+            + bytes(bits) + bytes(values))
+    out += b"\xFF\xDA" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x00])
+    out += bytes([psv, 0, pt])
+
+    tab = _encode_codes(*HT_DC_LUMA)
+    bw = _BitWriter()
+    default = 1 << (prec - pt - 1)
+    mcu = 0
+    reset = False
+    rst = 0
+    for y in range(h):
+        for x in range(w):
+            if (restart_interval and mcu
+                    and mcu % restart_interval == 0):
+                bw.flush()
+                out += bw.out
+                bw = _BitWriter()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                reset = True
+            for ci in range(nc):
+                p = samples[:, :, ci]
+                if reset or (y == 0 and x == 0):
+                    px = default
+                elif y == 0:
+                    px = int(p[0, x - 1])
+                elif x == 0:
+                    px = int(p[y - 1, 0])
+                else:
+                    ra, rb, rc = (int(p[y, x - 1]), int(p[y - 1, x]),
+                                  int(p[y - 1, x - 1]))
+                    px = {1: ra, 2: rb, 3: rc, 4: ra + rb - rc,
+                          5: ra + ((rb - rc) >> 1),
+                          6: rb + ((ra - rc) >> 1),
+                          7: (ra + rb) >> 1}[psv]
+                diff = (int(p[y, x]) - px) & 0xFFFF
+                if diff >= 0x8000:
+                    diff -= 0x10000     # signed mod-65536 difference
+                t, enc = _magnitude(diff)
+                code, length = tab[t]
+                bw.write(code, length)
+                if t:
+                    bw.write(enc, t)
+            reset = False
+            mcu += 1
+    bw.flush()
+    out += bw.out
     out += b"\xFF\xD9"
     return bytes(out)
