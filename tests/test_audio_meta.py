@@ -188,3 +188,105 @@ def test_id3v2_unsynchronisation():
     meta = mp3_metadata(hdr + stuffed + _mp3_frame())
     assert meta["title"] == b"My \xff~T".decode("latin-1")
     assert meta["sample_rate"] == 44100
+
+
+def _ogg_page(serial, seq, granule, packets, htype=0):
+    import struct as _s
+    body = b"".join(packets)
+    lacing = b""
+    for p in packets:
+        n = len(p)
+        while n >= 255:
+            lacing += bytes([255])
+            n -= 255
+        lacing += bytes([n])
+    hdr = (b"OggS" + bytes([0, htype])
+           + _s.pack("<q", granule) + _s.pack("<I", serial)
+           + _s.pack("<I", seq) + _s.pack("<I", 0)
+           + bytes([len(lacing)]) + lacing)
+    return hdr + body
+
+
+def _vorbis_comment_block(tags):
+    import struct as _s
+    body = _s.pack("<I", 4) + b"test"
+    body += _s.pack("<I", len(tags))
+    for k, v in tags.items():
+        item = f"{k}={v}".encode()
+        body += _s.pack("<I", len(item)) + item
+    return body
+
+
+def test_ogg_opus_metadata():
+    import struct as _s
+
+    from unfurl_spark.functions.media import _sniff, ogg_metadata
+
+    head = (b"OpusHead" + bytes([1, 2])           # version, channels
+            + _s.pack("<H", 312)                  # pre-skip
+            + _s.pack("<I", 44100)                # input rate
+            + _s.pack("<h", 0) + bytes([0]))
+    tags = b"OpusTags" + _vorbis_comment_block(
+        {"TITLE": "Song A", "ARTIST": "Band B", "album": "LP C"})
+    data = (_ogg_page(7, 0, 0, [head], htype=2)
+            + _ogg_page(7, 1, -1, [tags])
+            + _ogg_page(7, 2, 48000 * 3 + 312, [b"\x00" * 10], htype=4))
+    assert _sniff(data) == "ogg"
+    m = ogg_metadata(data, total_bytes=len(data))
+    assert m["codec"] == "opus"
+    assert m["channels"] == 2
+    assert m["sample_rate"] == 44100
+    assert m["duration_s"] == 3.0          # granule minus pre-skip @48k
+    assert (m["title"], m["artist"], m["album"]) == ("Song A", "Band B",
+                                                     "LP C")
+
+
+def test_ogg_vorbis_metadata_and_capped_estimate():
+    import struct as _s
+
+    from unfurl_spark.functions.media import ogg_metadata
+
+    ident = (b"\x01vorbis" + _s.pack("<I", 0) + bytes([2])
+             + _s.pack("<I", 22050)
+             + _s.pack("<i", 0) + _s.pack("<i", 128000) + _s.pack("<i", 0)
+             + bytes([0xB8, 1]))
+    tags = b"\x03vorbis" + _vorbis_comment_block({"TITLE": "V"})
+    full = (_ogg_page(9, 0, 0, [ident], htype=2)
+            + _ogg_page(9, 1, -1, [tags])
+            + _ogg_page(9, 2, 22050 * 7, [b"\x00" * 8], htype=4))
+    m = ogg_metadata(full, total_bytes=len(full))
+    assert m["codec"] == "vorbis"
+    assert m["sample_rate"] == 22050 and m["channels"] == 2
+    assert m["bitrate_kbps"] == 128
+    assert m["duration_s"] == 7.0
+    assert m["title"] == "V"
+    # byte-capped read: last page out of reach → nominal-rate estimate
+    capped = full[:len(full) - 40]
+    m2 = ogg_metadata(capped, total_bytes=160000)
+    assert m2.get("duration_estimated") is True
+    assert abs(m2["duration_s"] - 160000 * 8 / 128000) < 0.01
+
+
+def test_audio_metadata_operator_ogg(spark):
+    import struct as _s
+
+    from pyspark.sql import Row
+
+    from unfurl_spark.functions.multimodal import audio_metadata
+
+    head = (b"OpusHead" + bytes([1, 1]) + _s.pack("<H", 0)
+            + _s.pack("<I", 48000) + _s.pack("<h", 0) + bytes([0]))
+    tags = b"OpusTags" + _vorbis_comment_block({"TITLE": "T"})
+    data = (_ogg_page(3, 0, 0, [head], htype=2)
+            + _ogg_page(3, 1, -1, [tags])
+            + _ogg_page(3, 2, 96000, [b"\x00"], htype=4))
+    df = spark.createDataFrame(
+        [Row(media_ref="a.opus", ctype="audio/ogg", payload=data),
+         Row(media_ref="bad.ogg", ctype="audio/ogg",
+             payload=b"OggS" + b"\x00" * 30)])
+    got = {r["media_ref"]: r for r in audio_metadata(df).collect()}
+    assert got["a.opus"]["container"] == "ogg"
+    assert got["a.opus"]["ok"] == "ok"
+    assert got["a.opus"]["duration_s"] == 2.0
+    assert got["a.opus"]["title"] == "T"
+    assert got["bad.ogg"]["ok"].startswith("err:")

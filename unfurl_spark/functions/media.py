@@ -294,6 +294,8 @@ def _sniff(data: bytes) -> str | None:
         return "webm"
     if data[:5] == b"%PDF-":
         return "pdf"
+    if data[:4] == b"OggS":
+        return "ogg"
     # MPEG audio last: the weakest magic.  An ID3v2 prefix is strong; a
     # bare frame sync must validate version/layer/bitrate/samplerate
     # fields before we claim it (0xFFF + layer==00 is ADTS AAC instead).
@@ -1316,6 +1318,120 @@ def _walk_ebml(data: bytes, start: int, end: int):
 
 def _ebml_uint(data: bytes, start: int, end: int) -> int:
     return int.from_bytes(data[start:end], "big") if end > start else 0
+
+
+def _vorbis_comments(body: bytes) -> dict:
+    """VorbisComment block (vendor string + KEY=value list) → tag dict
+    (title/artist/album only, matching the ID3 surface)."""
+    out: dict = {}
+    if len(body) < 8:
+        return out
+    vlen = int.from_bytes(body[0:4], "little")
+    pos = 4 + vlen
+    if pos + 4 > len(body):
+        return out
+    n = int.from_bytes(body[pos:pos + 4], "little")
+    pos += 4
+    for _ in range(min(n, 64)):
+        if pos + 4 > len(body):
+            break
+        clen = int.from_bytes(body[pos:pos + 4], "little")
+        pos += 4
+        if clen <= 0 or pos + clen > len(body):
+            break
+        item = body[pos:pos + clen].decode("utf-8", "replace")
+        pos += clen
+        if "=" in item:
+            k, v = item.split("=", 1)
+            k = k.lower()
+            if k in ("title", "artist", "album") and k not in out:
+                out[k] = v
+    return out
+
+
+def ogg_metadata(data: bytes, total_bytes: int | None = None) -> dict:
+    """Ogg container metadata (RFC 3533 pages + the Opus/Vorbis
+    identification headers): codec, channels, sample rate, tags from
+    the VorbisComment packet, and duration from the last page's granule
+    position when the page is inside the read (an Ogg stream's length
+    lives at its END, so a byte-capped read reports duration only for
+    Vorbis via the nominal-bitrate estimate — the honest MP3-CBR
+    analogue).  Header-only, stdlib."""
+    out: dict = {}
+    if data[:4] != b"OggS":
+        return out
+    pos = 0
+    packets: list[bytes] = []
+    max_granule = None
+    last_page_seen = False
+    while pos + 27 <= len(data):
+        if data[pos:pos + 4] != b"OggS":
+            break
+        htype = data[pos + 5]
+        granule = int.from_bytes(data[pos + 6:pos + 14], "little",
+                                 signed=True)
+        nsegs = data[pos + 26]
+        lacing = data[pos + 27:pos + 27 + nsegs]
+        if len(lacing) < nsegs:
+            break
+        body_start = pos + 27 + nsegs
+        body_len = sum(lacing)
+        if granule >= 0:
+            max_granule = granule if max_granule is None \
+                else max(max_granule, granule)
+        if htype & 0x04:
+            last_page_seen = True
+        if len(packets) < 2 and body_start + body_len <= len(data):
+            # first two packets carry the id + comment headers
+            seg_pos = body_start
+            cur = b""
+            for lace in lacing:
+                cur += data[seg_pos:seg_pos + lace]
+                seg_pos += lace
+                if lace < 255:
+                    packets.append(cur)
+                    cur = b""
+                    if len(packets) >= 2:
+                        break
+        pos = body_start + body_len
+    if not packets:
+        return out
+    ident = packets[0]
+    rate = None
+    if ident.startswith(b"OpusHead") and len(ident) >= 19:
+        out["codec"] = "opus"
+        out["channels"] = ident[9]
+        pre_skip = int.from_bytes(ident[10:12], "little")
+        out["sample_rate"] = int.from_bytes(ident[12:16], "little")
+        rate = 48000            # Opus granules are ALWAYS 48 kHz ticks
+        if max_granule is not None and last_page_seen:
+            out["duration_s"] = round(
+                max(0, max_granule - pre_skip) / rate, 3)
+    elif ident.startswith(b"\x01vorbis") and len(ident) >= 28:
+        out["codec"] = "vorbis"
+        out["channels"] = ident[11]
+        out["sample_rate"] = int.from_bytes(ident[12:16], "little")
+        rate = out["sample_rate"] or None
+        nominal = int.from_bytes(ident[20:24], "little", signed=True)
+        if nominal > 0:
+            out["bitrate_kbps"] = nominal // 1000
+        if max_granule is not None and last_page_seen and rate:
+            out["duration_s"] = round(max_granule / rate, 3)
+        elif nominal > 0 and total_bytes:
+            # capped read: the final granule is out of reach — estimate
+            # like the MP3 CBR arm, flagged by the absent last page
+            out["duration_s"] = round(total_bytes * 8 / nominal, 3)
+            out["duration_estimated"] = True
+    else:
+        out["codec"] = "unknown"
+        return out
+    if len(packets) > 1:
+        body = packets[1]
+        if body.startswith(b"OpusTags"):
+            out.update(_vorbis_comments(body[8:]))
+        elif body.startswith(b"\x03vorbis"):
+            out.update(_vorbis_comments(body[7:]))
+    return out
 
 
 def mkv_metadata(data: bytes) -> dict:

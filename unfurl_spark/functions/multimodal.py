@@ -301,7 +301,10 @@ def audio_metadata(df: DataFrame,
 
     Header-only container walks over the capped prefix: MP3 (ID3v2/v1
     tags, Xing/Info VBR or CBR duration), ADTS AAC (profile/rate/
-    channels, frame-walk duration), and the PCM containers' sample rate/
+    channels, frame-walk duration), Ogg Opus/Vorbis (id header +
+    VorbisComment tags; duration from the final page granule when in
+    reach, else the Vorbis nominal-bitrate estimate), and the PCM
+    containers' sample rate/
     channels (WAV/FLAC/AIFF STREAMINFO-level reads via the full decoder
     only when the payload fits the cap).  The true payload length rides
     along so byte-capped MP3/AAC reads still estimate duration over the
@@ -315,7 +318,7 @@ def audio_metadata(df: DataFrame,
 
     def run(batches: Iterator) -> Iterator:
         import pyarrow as pa
-        from .media import aac_metadata, mp3_metadata
+        from .media import aac_metadata, mp3_metadata, ogg_metadata
         for batch in batches:
             refs = batch.column(0).to_pylist()
             heads = batch.column(1).to_pylist()
@@ -337,6 +340,12 @@ def audio_metadata(df: DataFrame,
                         meta = aac_metadata(data, total_bytes=n)
                         if "sample_rate" not in meta:
                             ok = "err:bad-adts"
+                    elif c == "ogg":
+                        meta = ogg_metadata(data, total_bytes=n)
+                        if meta.get("codec") not in ("opus", "vorbis"):
+                            ok = "err:ogg-codec"
+                        elif "duration_s" not in meta:
+                            ok = "capped:no-last-page"
                     elif c in ("wav", "flac", "aiff"):
                         if (n or 0) > len(data):
                             ok = "capped:header-only"
