@@ -290,3 +290,30 @@ def test_audio_metadata_operator_ogg(spark):
     assert got["a.opus"]["duration_s"] == 2.0
     assert got["a.opus"]["title"] == "T"
     assert got["bad.ogg"]["ok"].startswith("err:")
+
+
+def test_pcm_metadata_header_only():
+    """WAV/FLAC/AIFF metadata must come from the HEADER prefix alone —
+    asserted by truncating each fixture to its first 256 bytes (the
+    sample data is gone; rate/channels/duration must survive)."""
+    import numpy as np
+
+    from unfurl_spark.functions.codecs import encode_wav
+    from unfurl_spark.functions.codecs_ext import encode_aiff, encode_flac
+    from unfurl_spark.functions.media import pcm_metadata
+
+    sig = (np.sin(np.arange(22050) / 20) * 8000).astype(np.int16)
+    stereo = np.stack([sig, sig], axis=1)
+    wav = encode_wav(22050, stereo)
+    flac = encode_flac(22050, stereo)
+    aiff = encode_aiff(22050, stereo)
+    for name, data in (("wav", wav), ("flac", flac), ("aiff", aiff)):
+        m = pcm_metadata(data)
+        assert m["sample_rate"] == 22050, name
+        assert m["channels"] == 2, name
+        assert abs(m["duration_s"] - 1.0) < 0.01, name
+        capped = pcm_metadata(data[:256])
+        assert capped.get("sample_rate") == 22050, name
+        # the data-chunk SIZE field sits in the header, so even wav
+        # reports duration from the capped prefix
+        assert abs(capped.get("duration_s", 0) - 1.0) < 0.01, name

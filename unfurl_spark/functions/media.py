@@ -1320,6 +1320,77 @@ def _ebml_uint(data: bytes, start: int, end: int) -> int:
     return int.from_bytes(data[start:end], "big") if end > start else 0
 
 
+def pcm_metadata(data: bytes) -> dict:
+    """Header-only rate/channels/duration (+ FLAC VorbisComment tags)
+    for the PCM-family containers — WAV ``fmt ``+``data`` chunk sizes,
+    FLAC STREAMINFO (+ block type 4 tags), AIFF ``COMM`` — so
+    ``audio_metadata`` never has to run the full sample decoder (and a
+    byte-capped read still reports duration: every field lives in the
+    header prefix)."""
+    out: dict = {}
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        pos, rate, nch, bits = 12, None, None, None
+        while pos + 8 <= len(data):
+            tag = data[pos:pos + 4]
+            clen = int.from_bytes(data[pos + 4:pos + 8], "little")
+            if tag == b"fmt " and pos + 16 <= len(data):
+                body = data[pos + 8:pos + 8 + clen]
+                if len(body) >= 16:
+                    nch = int.from_bytes(body[2:4], "little")
+                    rate = int.from_bytes(body[4:8], "little")
+                    bits = int.from_bytes(body[14:16], "little")
+            elif tag == b"data" and rate and nch and bits:
+                frames = clen // max(1, nch * (bits // 8))
+                out.update({"sample_rate": rate, "channels": nch,
+                            "duration_s": round(frames / rate, 3)})
+                return out
+            pos += 8 + clen + (clen & 1)
+        if rate and nch:
+            out.update({"sample_rate": rate, "channels": nch})
+        return out
+    if data[:4] == b"fLaC":
+        pos = 4
+        while pos + 4 <= len(data):
+            hdr = data[pos]
+            last, btype = hdr & 0x80, hdr & 0x7F
+            blen = int.from_bytes(data[pos + 1:pos + 4], "big")
+            body = data[pos + 4:pos + 4 + blen]
+            if btype == 0 and len(body) >= 18:   # STREAMINFO
+                rate = int.from_bytes(body[10:13], "big") >> 4
+                nch = ((body[12] >> 1) & 0x7) + 1
+                total = (int.from_bytes(body[13:18], "big")
+                         & ((1 << 36) - 1))
+                out.update({"sample_rate": rate, "channels": nch})
+                if rate and total:
+                    out["duration_s"] = round(total / rate, 3)
+            elif btype == 4:                     # VorbisComment tags
+                out.update(_vorbis_comments(body))
+            if last:
+                break
+            pos += 4 + blen
+        return out
+    if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
+        pos = 12
+        while pos + 8 <= len(data):
+            tag = data[pos:pos + 4]
+            clen = int.from_bytes(data[pos + 4:pos + 8], "big")
+            body = data[pos + 8:pos + 8 + clen]
+            if tag == b"COMM" and len(body) >= 18:
+                nch = int.from_bytes(body[0:2], "big")
+                nframes = int.from_bytes(body[2:6], "big")
+                # 80-bit IEEE-754 extended sample rate
+                exp = int.from_bytes(body[8:10], "big")
+                mant = int.from_bytes(body[10:18], "big")
+                if exp and mant:
+                    rate = int(round(mant * 2.0 ** ((exp & 0x7FFF)
+                                                    - 16383 - 63)))
+                    out.update({"sample_rate": rate, "channels": nch,
+                                "duration_s": round(nframes / rate, 3)})
+                return out
+            pos += 8 + clen + (clen & 1)
+    return out
+
+
 def _vorbis_comments(body: bytes) -> dict:
     """VorbisComment block (vendor string + KEY=value list) → tag dict
     (title/artist/album only, matching the ID3 surface)."""

@@ -304,9 +304,9 @@ def audio_metadata(df: DataFrame,
     channels, frame-walk duration), Ogg Opus/Vorbis (id header +
     VorbisComment tags; duration from the final page granule when in
     reach, else the Vorbis nominal-bitrate estimate), and the PCM
-    containers' sample rate/
-    channels (WAV/FLAC/AIFF STREAMINFO-level reads via the full decoder
-    only when the payload fits the cap).  The true payload length rides
+    containers (WAV fmt/data, FLAC STREAMINFO + VorbisComment tags,
+    AIFF COMM with its 80-bit extended rate) — all header-only, no
+    sample decode, correct under the byte cap.  The true payload length rides
     along so byte-capped MP3/AAC reads still estimate duration over the
     FULL stream.  Same salting + Arrow-batch shape as decode_media —
     no per-row Python."""
@@ -318,7 +318,12 @@ def audio_metadata(df: DataFrame,
 
     def run(batches: Iterator) -> Iterator:
         import pyarrow as pa
-        from .media import aac_metadata, mp3_metadata, ogg_metadata
+        from .media import (
+            aac_metadata,
+            mp3_metadata,
+            ogg_metadata,
+            pcm_metadata,
+        )
         for batch in batches:
             refs = batch.column(0).to_pylist()
             heads = batch.column(1).to_pylist()
@@ -347,14 +352,11 @@ def audio_metadata(df: DataFrame,
                         elif "duration_s" not in meta:
                             ok = "capped:no-last-page"
                     elif c in ("wav", "flac", "aiff"):
-                        if (n or 0) > len(data):
-                            ok = "capped:header-only"
-                        else:
-                            rate, samples = decode_pixels(data, c)
-                            meta = {"sample_rate": int(rate),
-                                    "channels": int(samples.shape[1]),
-                                    "duration_s": round(
-                                        samples.shape[0] / rate, 3)}
+                        # header-only walk (fmt/STREAMINFO/COMM) — no
+                        # full sample decode, correct under the byte cap
+                        meta = pcm_metadata(data)
+                        if "sample_rate" not in meta:
+                            ok = "err:bad-header"
                     else:
                         ok = "err:not-audio"
                 except CodecUnavailable:
