@@ -317,3 +317,36 @@ def test_pcm_metadata_header_only():
         # the data-chunk SIZE field sits in the header, so even wav
         # reports duration from the capped prefix
         assert abs(capped.get("duration_s", 0) - 1.0) < 0.01, name
+
+
+def test_flac_picture_block_cover_art():
+    """FLAC PICTURE metadata blocks (type 6) surface through
+    embedded_cover without disturbing the header-only metadata walk."""
+    import struct
+
+    import numpy as np
+
+    from unfurl_spark.functions.codecs import encode_png
+    from unfurl_spark.functions.codecs_ext import encode_flac
+    from unfurl_spark.functions.media import embedded_cover, pcm_metadata
+
+    sig = (np.sin(np.arange(2000) / 9) * 5000).astype(np.int16)
+    flac = bytearray(encode_flac(2000, sig.reshape(-1, 1)))
+    png = encode_png(np.full((3, 4, 3), 77, np.uint8))
+    mime = b"image/png"
+    body = (struct.pack(">I", 3) + struct.pack(">I", len(mime)) + mime
+            + struct.pack(">I", 0) + struct.pack(">IIII", 4, 3, 24, 0)
+            + struct.pack(">I", len(png)) + png)
+    hdr0 = flac[4]
+    blen0 = int.from_bytes(flac[5:8], "big")
+    insert_at = 8 + blen0
+    was_last = hdr0 & 0x80
+    flac[4] = hdr0 & 0x7F
+    pic_hdr = bytes([(0x80 if was_last else 0) | 6]) \
+        + len(body).to_bytes(3, "big")
+    data = bytes(flac[:insert_at]) + pic_hdr + body + bytes(flac[insert_at:])
+    got = embedded_cover(data)
+    assert got == (png, "flac:picture")
+    assert pcm_metadata(data)["sample_rate"] == 2000
+    # plain flac (no picture block) yields no cover
+    assert embedded_cover(bytes(flac)) is None

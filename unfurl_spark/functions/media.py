@@ -1206,6 +1206,30 @@ def embedded_cover(data: bytes) -> tuple[bytes, str] | None:
         pic = _id3_apic(data)
         if pic:
             return pic, "id3:apic"
+    if data[:4] == b"fLaC":
+        # FLAC PICTURE metadata block (type 6): typed fields then the
+        # raw image bytes, all big-endian length-prefixed
+        pos = 4
+        while pos + 4 <= len(data):
+            hdr = data[pos]
+            blen = int.from_bytes(data[pos + 1:pos + 4], "big")
+            body = data[pos + 4:pos + 4 + blen]
+            if hdr & 0x7F == 6 and len(body) >= 8:
+                p = 4                                   # picture type
+                mlen = int.from_bytes(body[p:p + 4], "big")
+                p += 4 + mlen                           # MIME
+                if p + 4 <= len(body):
+                    dlen = int.from_bytes(body[p:p + 4], "big")
+                    p += 4 + dlen                       # description
+                    p += 16          # dims/depth/ncolors (4×4 bytes)
+                    if p + 4 <= len(body):
+                        plen = int.from_bytes(body[p:p + 4], "big")
+                        blob = body[p + 4:p + 4 + plen]
+                        if blob:
+                            return bytes(blob), "flac:picture"
+            if hdr & 0x80:
+                break
+            pos += 4 + blen
     if data[:4] == b"\x1aE\xdf\xa3":
         # Matroska/WebM Attachments → AttachedFile: cover art ships as a
         # FileData blob whose FileMimeType is an image type (the
