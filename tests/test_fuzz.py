@@ -118,3 +118,55 @@ def test_pdf_noop_escapes_and_outline_title():
     assert info["Title"] == "foo8bar9"
     out = exiftool_pdf("http://x/d.pdf", pdf)
     assert out["headline"] == "foo8bar9"
+
+
+# round-5 kernels: metadata walkers return dicts (never raise); the
+# decode-class kernels may raise ONLY the typed codec errors their
+# operators catch per-row
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=600))
+def test_r5_metadata_walkers_never_raise(data):
+    from unfurl_spark.functions.media import (
+        embedded_cover,
+        mjpeg_samples,
+        ogg_metadata,
+        pcm_metadata,
+    )
+    assert isinstance(ogg_metadata(data, total_bytes=10_000), dict)
+    assert isinstance(pcm_metadata(data), dict)
+    cover = embedded_cover(data)
+    assert cover is None or isinstance(cover[0], bytes)
+    table = mjpeg_samples(data)
+    assert table is None or isinstance(table, list)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.sampled_from([b"OggS", b"fLaC", b"RIFF\x10\x00\x00\x00WAVE",
+                        b"FORM\x00\x00\x00\x20AIFF", b"ID3\x03\x00\x00",
+                        b"\x00\x00\x00\x18ftypisom"]),
+       st.binary(max_size=400))
+def test_r5_truncated_audio_containers_never_raise(magic, tail):
+    from unfurl_spark.functions.media import (
+        embedded_cover,
+        mjpeg_samples,
+        ogg_metadata,
+        pcm_metadata,
+    )
+    data = magic + tail
+    ogg_metadata(data, total_bytes=len(data))
+    pcm_metadata(data)
+    embedded_cover(data)
+    mjpeg_samples(data)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=400))
+def test_svg_rasterizer_only_typed_errors(data):
+    from unfurl_spark.functions.codecs import CodecError, CodecUnavailable
+    from unfurl_spark.functions.svgraster import rasterize_svg
+    svg = b"<svg " + data + b"</svg>"
+    try:
+        out = rasterize_svg(svg)
+        assert out.ndim == 3 and out.shape[2] == 4
+    except (CodecError, CodecUnavailable):
+        pass   # per-row lineage errors, never task killers
