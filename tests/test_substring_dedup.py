@@ -144,3 +144,31 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""").fetchall()}
            for r in q.QUERIES["dedup_simhash_hamming_pairs"][0](
                spark, str(tmp_path)).collect()}
     assert got.get((1, 2)) == 0
+
+
+@pytest.mark.usefixtures("spark")
+def test_simhash64_near_dup_sensitivity(spark, tmp_path):
+    """64-bit signature: identical docs pair at hamming 0; a one-WORD-
+    INSTANCE edit in a repeated-words doc (each word ×3 — the realistic
+    regime where per-bit sums are strong) flips ~1 bit and stays within
+    the hd≤3 emit threshold; unrelated docs never pair (chance hd≤3 at
+    64 bits ≈ 2^-44).  A doc of 60 UNIQUE words with one swap measures
+    hd 7 — near-dup detection needs token repetition, which real text
+    has; documented by construction here."""
+    from unfurl_spark.operators.queries import QUERIES
+
+    base = " ".join((f"t{i} " * 3).strip() for i in range(20))
+    edited = base.replace("t7 t7 t7", "t7 t7 x")
+    other = " ".join(f"zz{i}" for i in range(60))
+    pq.write_table(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [base, base, edited, other],
+        "lang": ["en"] * 4, "source": ["web"] * 4, "n_chars": [0] * 4,
+    }), str(tmp_path / "documents.parquet"))
+    _link_other_tables(tmp_path)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in QUERIES["dedup_simhash64_hamming_pairs"][0](
+               spark, str(tmp_path)).collect()}
+    assert got.get((1, 2)) == 0
+    assert (1, 3) in got and got[(1, 3)] <= 3
+    assert not any(4 in pair for pair in got)

@@ -574,6 +574,58 @@ _q("dedup_simhash_hamming_pairs",
        lambda b: f"(simhash >> {4 * b}) & 15",
        "bit_count(xor(sa, sb))"))
 
+# The production-width variant: a 64-bit signature (two md5 streams of
+# 32 hex-digit parities) split into 4×16-bit bands.  Same pigeonhole
+# guarantee (any hd≤3 pair shares a full band) but at 64 bits the
+# chance collision rate drops from ~1% to ~2^-44 per pair — the banded
+# result IS the near-dup set, no post-filter flood.  Emits hd≤3 pairs.
+_SIMHASH64_BITS = " + ".join(
+    "(CASE WHEN sum(CASE WHEN ascii(substr(%s, %d, 1)) %% 2 = 1 "
+    "THEN 1 ELSE -1 END) > 0 THEN CAST(%d AS BIGINT) ELSE 0 END)"
+    % ("md5(word)" if b < 32 else "md5(concat('x', word))",
+       (b % 32) + 1, 1 << b)
+    for b in range(63)   # 63 bits: keeps the BIGINT sign bit clear
+)
+
+
+def _simhash64_pairs_sql(tok_body, shift, ham):
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS bno, {shift(16 * b)} AS bv "
+        "FROM sh" for b in range(4))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, CAST({_SIMHASH64_BITS} AS BIGINT) AS simhash
+  FROM (
+    {tok_body}
+  )
+  GROUP BY doc_id
+), bands AS (
+  {bands}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b
+    ON a.bno = b.bno AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST({ham} AS INT) AS hamming
+FROM cand
+WHERE {ham} <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
+_q("dedup_simhash64_hamming_pairs",
+   _simhash64_pairs_sql(
+       "SELECT doc_id, t.word FROM documents "
+       "LATERAL VIEW explode(split(text, ' ')) t AS word",
+       lambda k: f"shiftright(simhash, {k}) & 65535",
+       "bit_count(sa ^ sb)"),
+   _simhash64_pairs_sql(
+       "SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+       "FROM documents",
+       lambda k: f"(simhash >> {k}) & 65535",
+       "bit_count(xor(sa, sb))"))
+
 # n-gram Jaccard between LSH-candidate pairs.  The candidate pairs explode
 # into (doc_a, doc_b, doc_id) rows — one per side — and EQUI-join the
 # distinct shingle table on doc_id, so the verify stage shuffles on doc_id
