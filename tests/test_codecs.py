@@ -390,3 +390,66 @@ def test_jpeg_progressive_truncation_total():
             assert out.shape == (16, 16, 3)
         except (C.CodecError, C.CodecUnavailable):
             pass
+
+
+def test_bmp_palette_and_rle():
+    """Legacy BMP variants: 8/4/1-bit palette images, RLE8/RLE4 (runs,
+    absolute mode with word padding, EOL/EOB/delta escapes)."""
+    import struct
+
+    from unfurl_spark.functions.codecs import decode_bmp
+
+    def hdr(w, h, bpp, comp, ncolors, dsize):
+        off = 14 + 40 + 4 * ncolors
+        return (b"BM" + struct.pack("<IHHI", off + dsize, 0, 0, off)
+                + struct.pack("<IiihHIIiiII", 40, w, h, 1, bpp, comp,
+                              dsize, 0, 0, ncolors, 0))
+
+    # palette: RGB = (3i, 2i, i) stored as BGRx
+    pal = b"".join(struct.pack("<BBBB", i, (2 * i) % 256, (3 * i) % 256, 0)
+                   for i in range(16))
+    w, h = 5, 3
+
+    # 8-bit uncompressed
+    stride = (w + 3) & ~3
+    rows = b"".join(bytes([(r * w + c) % 16 for c in range(w)])
+                    + b"\x00" * (stride - w) for r in range(h))
+    img = decode_bmp(hdr(w, h, 8, 0, 16, len(rows)) + pal + rows)
+    for r in range(h):
+        for c in range(w):
+            i = (r * w + c) % 16
+            assert tuple(img[h - 1 - r, c]) == ((3 * i) % 256,
+                                                (2 * i) % 256, i)
+
+    # RLE8: runs + absolute mode + EOL + delta-free EOB
+    rle = bytes([3, 5, 2, 7, 0, 0,
+                 0, 5, 1, 2, 3, 4, 9, 0,
+                 0, 0,
+                 2, 1, 0, 1])
+    img2 = decode_bmp(hdr(w, h, 8, 1, 16, len(rle)) + pal + rle)
+    assert [int(img2[2, c, 2]) for c in range(w)] == [5, 5, 5, 7, 7]
+    assert [int(img2[1, c, 2]) for c in range(w)] == [1, 2, 3, 4, 9]
+    assert [int(img2[0, c, 2]) for c in range(w)] == [1, 1, 0, 0, 0]
+
+    # RLE8 delta escape skips pixels (left as index 0)
+    rled = bytes([2, 9, 0, 2, 2, 1, 1, 8, 0, 1])
+    img2d = decode_bmp(hdr(w, 2, 8, 1, 16, len(rled)) + pal + rled)
+    assert [int(img2d[1, c, 2]) for c in range(w)] == [9, 9, 0, 0, 0]
+    assert int(img2d[0, 4, 2]) == 8
+
+    # RLE4 alternating nibbles
+    rle4 = bytes([4, 0x25, 0, 1])
+    img3 = decode_bmp(hdr(w, 1, 4, 2, 16, len(rle4)) + pal + rle4)
+    assert [int(img3[0, c, 2]) for c in range(w)] == [2, 5, 2, 5, 0]
+
+    # 1-bit rows
+    img4 = decode_bmp(hdr(5, 1, 1, 0, 2, 4) + pal[:8]
+                      + bytes([0b10110000, 0, 0, 0]))
+    assert [int(img4[0, c, 2]) for c in range(5)] == [1, 0, 1, 1, 0]
+
+    # 16-bit stays a typed boundary
+    import pytest as _pytest
+
+    from unfurl_spark.functions.codecs import CodecError
+    with _pytest.raises(CodecError):
+        decode_bmp(hdr(2, 2, 16, 0, 0, 16) + b"\x00" * 16)

@@ -564,27 +564,116 @@ def encode_gif_anim(frames: list[np.ndarray],
 # BMP / PPM
 
 
+def _bmp_rle(data: bytes, pos: int, w: int, h: int,
+             four_bit: bool) -> np.ndarray:
+    """RLE8/RLE4 decode → (h, w) palette indices, bottom-up rows.
+    Escapes: 00 00 end-of-line, 00 01 end-of-bitmap, 00 02 dx dy
+    delta, 00 n≥3 absolute run (word-padded)."""
+    idx = np.zeros((h, w), np.uint8)
+    x = y = 0
+    n = len(data)
+    while pos + 1 < n and y < h:
+        cnt, val = data[pos], data[pos + 1]
+        pos += 2
+        if cnt:
+            if four_bit:
+                pair = (val >> 4, val & 15)
+                for i in range(cnt):
+                    if x < w:
+                        idx[y, x] = pair[i & 1]
+                        x += 1
+            else:
+                end = min(w, x + cnt)
+                idx[y, x:end] = val
+                x = min(w, x + cnt)
+            continue
+        if val == 0:        # end of line
+            x, y = 0, y + 1
+        elif val == 1:      # end of bitmap
+            break
+        elif val == 2:      # delta
+            if pos + 1 >= n:
+                break
+            x = min(w, x + data[pos])
+            y += data[pos + 1]
+            pos += 2
+        else:               # absolute mode: val literal pixels
+            if four_bit:
+                nbytes = (val + 1) // 2
+                chunk = data[pos:pos + nbytes]
+                pos += nbytes + (nbytes & 1)
+                k = 0
+                for b in chunk:
+                    for nib in (b >> 4, b & 15):
+                        if k >= val:
+                            break
+                        if x < w:
+                            idx[y, x] = nib
+                            x += 1
+                        k += 1
+            else:
+                chunk = data[pos:pos + val]
+                pos += val + (val & 1)
+                for b in chunk:
+                    if x < w:
+                        idx[y, x] = b
+                        x += 1
+    return idx
+
+
 @total
 def decode_bmp(data: bytes) -> np.ndarray:
     if data[:2] != b"BM":
         raise CodecError("bmp: bad signature")
     (off,) = struct.unpack("<I", data[10:14])
     hsize, w, h, _planes, bpp, comp = struct.unpack("<IiihHI", data[14:34])
-    if comp != 0:
-        raise CodecError(f"bmp: compression {comp} unsupported")
-    if bpp not in (24, 32):
-        raise CodecError(f"bmp: {bpp}-bit unsupported")
     flip = h > 0
     h = abs(h)
     _check_dims(w, h, "bmp")
-    nch = bpp // 8
-    stride = (w * nch + 3) & ~3
-    px = np.frombuffer(data[off:off + stride * h], np.uint8)
-    if len(px) < stride * h:
-        raise CodecError("bmp: truncated")
-    px = px.reshape(h, stride)[:, :w * nch].reshape(h, w, nch)
-    img = px[:, :, [2, 1, 0]] if nch == 3 else px[:, :, [2, 1, 0, 3]]
-    return img[::-1] if flip else img
+    if bpp in (24, 32) and comp == 0:
+        nch = bpp // 8
+        stride = (w * nch + 3) & ~3
+        px = np.frombuffer(data[off:off + stride * h], np.uint8)
+        if len(px) < stride * h:
+            raise CodecError("bmp: truncated")
+        px = px.reshape(h, stride)[:, :w * nch].reshape(h, w, nch)
+        img = px[:, :, [2, 1, 0]] if nch == 3 else px[:, :, [2, 1, 0, 3]]
+        return img[::-1] if flip else img
+    if bpp in (1, 4, 8):
+        # palette images: BGRA color table follows the info header
+        (clr_used,) = struct.unpack("<I", data[46:50]) \
+            if len(data) >= 50 else (0,)
+        ncolors = clr_used or (1 << bpp)
+        pal_at = 14 + hsize
+        pal = np.frombuffer(data[pal_at:pal_at + 4 * ncolors], np.uint8)
+        if len(pal) < 4 * ncolors:
+            raise CodecError("bmp: truncated palette")
+        lut = pal.reshape(-1, 4)[:, [2, 1, 0]]      # BGRx → RGB
+        if comp == 0:
+            stride = ((w * bpp + 31) // 32) * 4
+            raw = np.frombuffer(data[off:off + stride * h], np.uint8)
+            if len(raw) < stride * h:
+                raise CodecError("bmp: truncated")
+            rows = raw.reshape(h, stride)
+            if bpp == 8:
+                idx = rows[:, :w]
+            elif bpp == 4:
+                nib = np.empty((h, stride * 2), np.uint8)
+                nib[:, 0::2] = rows >> 4
+                nib[:, 1::2] = rows & 15
+                idx = nib[:, :w]
+            else:
+                bits = np.unpackbits(rows, axis=1)
+                idx = bits[:, :w]
+        elif (comp, bpp) in ((1, 8), (2, 4)):
+            # RLE rows are ALWAYS bottom-up (top-down RLE is invalid)
+            idx = _bmp_rle(data, off, w, h, four_bit=(comp == 2))
+        else:
+            raise CodecError(f"bmp: compression {comp} unsupported")
+        idx = np.clip(idx, 0, ncolors - 1)
+        img = lut[idx]
+        return img[::-1] if flip else img
+    raise CodecError(f"bmp: {bpp}-bit/compression {comp} unsupported")
 
 
 def encode_bmp(img: np.ndarray) -> bytes:
