@@ -447,9 +447,41 @@ def test_bmp_palette_and_rle():
                       + bytes([0b10110000, 0, 0, 0]))
     assert [int(img4[0, c, 2]) for c in range(5)] == [1, 0, 1, 1, 0]
 
-    # 16-bit stays a typed boundary
+    # 2-bit (non-standard) stays a typed boundary
     import pytest as _pytest
 
     from unfurl_spark.functions.codecs import CodecError
     with _pytest.raises(CodecError):
-        decode_bmp(hdr(2, 2, 16, 0, 0, 16) + b"\x00" * 16)
+        decode_bmp(hdr(2, 2, 2, 0, 4, 16) + pal[:16] + b"\x00" * 16)
+
+
+def test_bmp_16bit_555_and_565():
+    import struct
+
+    from unfurl_spark.functions.codecs import decode_bmp
+
+    def hdr(w, h, comp, dsize, masks=b""):
+        off = 14 + 40 + len(masks)
+        return (b"BM" + struct.pack("<IHHI", off + dsize, 0, 0, off)
+                + struct.pack("<IiihHIIiiII", 40, w, h, 1, 16, comp,
+                              dsize, 0, 0, 0, 0) + masks)
+
+    # 555: pure red, pure green, pure blue, white
+    px555 = [0x7C00, 0x03E0, 0x001F, 0x7FFF]
+    row = b"".join(struct.pack("<H", v) for v in px555)
+    img = decode_bmp(hdr(4, 1, 0, len(row)) + row)
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[0, 1].tolist() == [0, 255, 0]
+    assert img[0, 2].tolist() == [0, 0, 255]
+    assert img[0, 3].tolist() == [255, 255, 255]
+
+    # 565 bitfields: mid-green uses the 6-bit channel
+    masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+    px565 = [0xF800, 0x07E0, 0x001F, 0x0420]   # r, g, b, green=1<<5+...
+    row2 = b"".join(struct.pack("<H", v) for v in px565)
+    img2 = decode_bmp(hdr(4, 1, 3, len(row2), masks) + row2)
+    assert img2[0, 0].tolist() == [255, 0, 0]
+    assert img2[0, 1].tolist() == [0, 255, 0]
+    assert img2[0, 2].tolist() == [0, 0, 255]
+    g = img2[0, 3, 1]
+    assert 0 < g < 255 and img2[0, 3, 0] == 0

@@ -639,6 +639,36 @@ def decode_bmp(data: bytes) -> np.ndarray:
         px = px.reshape(h, stride)[:, :w * nch].reshape(h, w, nch)
         img = px[:, :, [2, 1, 0]] if nch == 3 else px[:, :, [2, 1, 0, 3]]
         return img[::-1] if flip else img
+    if bpp == 16 and comp in (0, 3):
+        # BI_RGB 16-bit = X1R5G5B5; BI_BITFIELDS carries explicit masks
+        # right after the info header (565 in practice)
+        if comp == 3:
+            mpos = 14 + hsize
+            if hsize >= 52:     # V2+ header embeds the masks
+                mpos = 14 + 40
+            masks = struct.unpack("<III", data[mpos:mpos + 12])
+        else:
+            masks = (0x7C00, 0x03E0, 0x001F)
+        stride = (w * 2 + 3) & ~3
+        raw = np.frombuffer(data[off:off + stride * h], np.uint8)
+        if len(raw) < stride * h:
+            raise CodecError("bmp: truncated")
+        v = raw.reshape(h, stride)[:, :w * 2].reshape(h, w, 2)
+        v16 = v[:, :, 0].astype(np.uint32) | (v[:, :, 1].astype(np.uint32)
+                                              << 8)
+        chans = []
+        for m in masks:
+            if not m:
+                raise CodecError("bmp: zero bitfield mask")
+            shift = (m & -m).bit_length() - 1
+            width_bits = (m >> shift).bit_length()
+            c = (v16 & m) >> shift
+            # expand to 8 bits with rounding (bit replication)
+            c = (c * 255 + ((1 << width_bits) - 1) // 2) \
+                // ((1 << width_bits) - 1)
+            chans.append(c.astype(np.uint8))
+        img = np.dstack(chans)
+        return img[::-1] if flip else img
     if bpp in (1, 4, 8):
         # palette images: BGRA color table follows the info header
         (clr_used,) = struct.unpack("<I", data[46:50]) \
